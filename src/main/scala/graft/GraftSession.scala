@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Plays the role of the reference's environment setup chain
+  * (flink1_create_filnk_env.py:50-89 env creation,
+  * flink3_add_parameter_to_flink.py:22-89 parallelism/checkpointing) —
+  * re-expressed as Spark session configuration. Jar management
+  * (flink2_add_jar_to_flink.py) is obsolete: dependencies live on the
+  * classpath.
+  *
+  * Scale posture: shuffle partitions default to the local core count
+  * (not 200); AQE is on so that at cluster scale the runtime re-plans
+  * partition counts, skew joins, and broadcast decisions from actual
+  * stage statistics.
+  */
+object GraftSession {
+
+  /** Default thread/partition count, overridable via SPARK_GRAFT_CPUS. */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // the driver-generated events table carries TIMESTAMP(NANOS)
+      // which Spark's parquet reader only surfaces as long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests/tools; cluster deployments pass their own
+    * master via spark-submit and only inherit the SQL conf above. */
+  def local(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).master(s"local[$cpus]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

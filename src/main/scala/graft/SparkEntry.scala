@@ -1,13 +1,61 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{RelationalOps, WindowOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is exposed as a named
+  * query over the driver-generated tables (TESTDATA.md), with an
+  * equivalent DuckDB SQL oracle where the semantics are
+  * SQL-expressible. Query results are fully ordered and use exact
+  * decimal arithmetic for double aggregates so the hash compare is
+  * deterministic across engines and partition counts.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalOps.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.6 aggregations (A1-A5, A9)
+    "q01_pricing_summary" -> RelationalOps.pricingSummary _,
+    // §2.3 projection/filter (T2/T8/T9)
+    "q02_filter_project" -> RelationalOps.filterProject _,
+    // §2.5 lookup/dim join (JN2), broadcast
+    "q03_dim_join" -> RelationalOps.dimJoin _,
+    // §2.8 top-k (O4)
+    "q04_topk_per_group" -> ((s, d) => RelationalOps.topKPerGroup(s, d)),
+    // §2.8 sort+limit (O1/O2)
+    "q05_sort_limit" -> ((s, d) => RelationalOps.sortLimit(s, d)),
+    // §2.8 union (O3)
+    "q06_union" -> RelationalOps.unionMerge _,
+    // §2.6 dedup (A7)
+    "q07_dedup_exact" -> RelationalOps.dedupExact _,
+    // §2.7 windows (W1-W3/W8, A5/A8)
+    "q08_window_tumbling" -> WindowOps.tumbling _,
+    "q09_window_sliding" -> WindowOps.sliding _,
+    "q10_window_session" -> WindowOps.session _,
+    // §2.5 interval join (JN1/JN3)
+    "q11_interval_join" -> WindowOps.intervalJoin _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> RelationalOps.pricingSummarySql,
+    "q02_filter_project" -> RelationalOps.filterProjectSql,
+    "q03_dim_join" -> RelationalOps.dimJoinSql,
+    "q04_topk_per_group" -> RelationalOps.topKPerGroupSql,
+    "q05_sort_limit" -> RelationalOps.sortLimitSql,
+    "q06_union" -> RelationalOps.unionMergeSql,
+    "q07_dedup_exact" -> RelationalOps.dedupExactSql,
+    "q08_window_tumbling" -> WindowOps.tumblingSql,
+    "q09_window_sliding" -> WindowOps.slidingSql,
+    "q10_window_session" -> WindowOps.sessionSql,
+    "q11_interval_join" -> WindowOps.intervalJoinSql,
+  )
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core relational operators (SURVEY.md §2.3, §2.5, §2.6, §2.8).
+  *
+  * Everything here is declarative DataFrame API so Catalyst handles
+  * pushdown, pruning, and join strategy. Aggregates over double
+  * columns go through exact DECIMAL arithmetic
+  * (see [[decSum]]) so results are bit-identical regardless of
+  * partition count / merge order — both a correctness-oracle
+  * requirement and the right call at 1000-executor scale where
+  * floating-point sums are otherwise nondeterministic run-to-run.
+  */
+object RelationalOps {
+
+  /** Order-independent exact sum of a 2-decimal double column,
+    * returned as double: cast-to-decimal is exact for 2dp inputs,
+    * decimal addition is associative/commutative, and the final
+    * decimal→double cast is exact below 2^53. */
+  def decSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Exact revenue expression: price * (1 - discount) in decimal. */
+  def revenue(price: Column, discount: Column): Column =
+    price.cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - discount.cast("decimal(18,2)"))
+
+  /** Pricing-summary aggregate — the reference's windowed
+    * count/sum/avg/max/min family (utils/flink_window_utils.py:330-397,
+    * A1-A4) in batch form over lineitem. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        round(decSum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        round(decSum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+      |  MAX(l_quantity) AS max_qty, MIN(l_quantity) AS min_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Projection + filter (T2/T8/T9) — predicate and column pruning
+    * reach the parquet scan (verified via explain: PushedFilters). */
+  def filterProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.where(col("l_returnflag") === "R" && col("l_quantity") > 40)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        revenue(col("l_extendedprice"), col("l_discount")).cast("double").as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val filterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Multi-way dimension (lookup) join — JN2 analogue. Dimension
+    * tables are explicitly broadcast: at 100 TB the fact side streams
+    * through map-side hash joins with zero shuffle of the big table. */
+  def dimJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        decSum(col("o_totalprice")).as("total_revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val dimJoinSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS order_count,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** Top-k per group (O4 — the reference's "TopN" TableAggregate
+    * concept, flink_learning/flink_typora.md:808). Deterministic
+    * tie-break on o_orderkey. */
+  def topKPerGroup(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  val topKPerGroupSql: String =
+    """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  /** Global sort + limit (O1/O2) with a total order for determinism. */
+  def sortLimit(spark: SparkSession, sfDir: String, n: Int = 100): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(n)
+
+  val sortLimitSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** Union / merge (O3 — pd.concat analogue,
+    * flink5_parse_walmart_order.py:202) via unionByName. */
+  def unionMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val hi = o.where(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("high").as("bucket"))
+    val lo = o.where(col("o_totalprice") < 10000)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("low").as("bucket"))
+    hi.unionByName(lo).orderBy(col("o_orderkey"))
+  }
+
+  val unionMergeSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 400000
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 10000
+      |) t ORDER BY o_orderkey""".stripMargin
+
+  /** Exact dedup (A7 — dedup by purchaseOrderId,
+    * order1_request_walmart_order.py:241-261) expressed
+    * deterministically: keep the minimum id per duplicate group.
+    * Hash-groupBy on the dedup key — one shuffle, map-side partial
+    * aggregation, linear in data size at any scale. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .orderBy(col("text_hash"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+      |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
+}

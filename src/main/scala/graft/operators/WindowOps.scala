@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.RelationalOps.decSum
+
+/** Time-window aggregations (SURVEY.md §2.7 W1-W3/W8, §2.6 A5/A8).
+  *
+  * Batch forms of the reference's tumbling / sliding / session window
+  * builders (utils/flink_window_utils.py:89-227) and SQL
+  * TUMBLE/HOP/SESSION generators (:467-611). The same `window()` /
+  * `session_window()` expressions run unchanged under Structured
+  * Streaming with `withWatermark` (see graft.streaming).
+  *
+  * Scale note: `window()` is a scalar bucket computation — the
+  * aggregation is an ordinary hash agg with map-side combine, so the
+  * shuffle carries one row per (bucket, key), not per event.
+  */
+object WindowOps {
+
+  /** Tumbling 1-hour count+sum per event_type — the stage-2
+    * "per-hour order count & amount" acceptance shape
+    * (stage2_window_statistics/README.md:7-11). */
+  def tumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"), decSum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("event_count"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val tumblingSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start,
+      |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+      |  event_type, COUNT(*) AS event_count,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
+
+  /** Sliding (HOP) window: 2-hour size, 1-hour slide, global (no key)
+    * — W2 / utils/flink_window_utils.py:139-184. */
+  def sliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("event_count"), decSum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_count"), col("total_value"))
+      .orderBy(col("window_start"))
+
+  /** DuckDB oracle: each event belongs to the two hourly-aligned 2-hour
+    * windows covering it; enumerate both starts and filter. */
+  val slidingSql: String =
+    """SELECT ws AS window_start, ws + INTERVAL 2 HOUR AS window_end,
+      |  COUNT(*) AS event_count,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM (
+      |  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws, ts, value
+      |  FROM events) t
+      |WHERE ts >= ws AND ts < ws + INTERVAL 2 HOUR
+      |GROUP BY ws ORDER BY ws""".stripMargin
+
+  /** Session window, 30-minute gap, keyed by user — W3 /
+    * utils/flink_window_utils.py:186-227. Spark's built-in
+    * `session_window` (≥3.2). */
+  def session(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("event_count"), decSum(col("value")).as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("event_count"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Gaps-and-islands formulation: a new session starts when the gap
+    * from the previous event of the same user is > 30 min; session end
+    * = last event + gap (Spark session_window semantics for point
+    * events). */
+  val sessionSql: String =
+    """SELECT MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  user_id, COUNT(*) AS event_count,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, value,
+      |      CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+      |    FROM events) a) b
+      |GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin
+
+  /** Interval join (JN3) / stream-stream window join (JN1) batch
+    * analogue: for each signup, purchases by the same user within the
+    * next 24 hours. At scale this is an equi-join on user_id (one
+    * shuffle) with the range predicate applied post-join; in streaming
+    * form the same condition bounds state via watermarks. */
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("signup_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    signups.join(purchases, Seq("user_id"))
+      .where(col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") < col("signup_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("user_id"), col("signup_id"), col("purchase_id"),
+        col("value").cast("decimal(18,2)").cast("double").as("purchase_value"))
+      .orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
+  }
+
+  val intervalJoinSql: String =
+    """SELECT s.user_id AS user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+      |  CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON s.user_id = p.user_id
+      | AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 24 HOUR
+      |ORDER BY user_id, signup_id, purchase_id""".stripMargin
+}
