@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{RelationalOps, WindowOps}
+import graft.functions.TextOps
+import graft.operators.{DedupOps, EmbeddingOps, EnrichOps, RelationalOps, WindowOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +42,40 @@ object SparkEntry {
     "q10_window_session" -> WindowOps.session _,
     // §2.5 interval join (JN1/JN3)
     "q11_interval_join" -> WindowOps.intervalJoin _,
+    // §2.3 flatMap/explode (T3/J2)
+    "q12_explode_tokens" -> EnrichOps.explodeTokens _,
+    // §2.4 JSON parse (J1, T12/T13)
+    "q13_json_extract" -> EnrichOps.jsonExtract _,
+    // §2.9 scalar function census
+    "q14_scalar_census" -> EnrichOps.scalarCensus _,
+    // §2.6 distinct agg + having
+    "q15_distinct_having" -> EnrichOps.distinctHaving _,
+    // §3.2 SQL-text path (T10)
+    "q16_sql_lookup_join" -> EnrichOps.sqlLookupJoin _,
+    // text analysis: token counting + quality scoring
+    "q17_text_stats" -> TextOps.textStats _,
+    // text analysis: language-ID heuristic
+    "q18_lang_id" -> TextOps.langId _,
+    // text analysis: document fingerprinting
+    "q19_fingerprint" -> TextOps.fingerprint _,
+    // dedup: minhash signatures
+    "q20_minhash_signatures" -> DedupOps.minhashSignatures _,
+    // dedup: LSH banding candidates
+    "q21_lsh_candidates" -> DedupOps.lshCandidates _,
+    // dedup: exact n-gram jaccard verification of candidates
+    "q22_jaccard_verify" -> DedupOps.jaccardVerify _,
+    // dedup: simhash signatures
+    "q23_simhash" -> DedupOps.simhash _,
+    // dedup: simhash near-dup pairs (banded hamming)
+    "q24_simhash_pairs" -> DedupOps.simhashPairs _,
+    // similarity: brute-force cosine top-k
+    "q25_cosine_topk" -> EmbeddingOps.cosineTopK _,
+    // similarity: sign-LSH buckets
+    "q26_lsh_buckets" -> EmbeddingOps.lshBuckets _,
+    // similarity: ANN within buckets
+    "q27_ann_bucketed" -> EmbeddingOps.annBucketed _,
+    // similarity: embedding near-dup pairs
+    "q28_embed_neardup" -> EmbeddingOps.nearDupPairs _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,5 +92,22 @@ object SparkEntry {
     "q09_window_sliding" -> WindowOps.slidingSql,
     "q10_window_session" -> WindowOps.sessionSql,
     "q11_interval_join" -> WindowOps.intervalJoinSql,
+    "q12_explode_tokens" -> EnrichOps.explodeTokensSql,
+    "q13_json_extract" -> EnrichOps.jsonExtractSql,
+    "q14_scalar_census" -> EnrichOps.scalarCensusSql,
+    "q15_distinct_having" -> EnrichOps.distinctHavingSql,
+    "q16_sql_lookup_join" -> EnrichOps.sqlLookupJoinSql,
+    "q17_text_stats" -> TextOps.textStatsSql,
+    "q18_lang_id" -> TextOps.langIdSql,
+    "q19_fingerprint" -> TextOps.fingerprintSql,
+    "q20_minhash_signatures" -> DedupOps.minhashSignaturesSql,
+    "q21_lsh_candidates" -> DedupOps.lshCandidatesSql,
+    "q22_jaccard_verify" -> DedupOps.jaccardVerifySql,
+    "q23_simhash" -> DedupOps.simhashSql,
+    "q24_simhash_pairs" -> DedupOps.simhashPairsSql,
+    "q25_cosine_topk" -> EmbeddingOps.cosineTopKSql,
+    "q26_lsh_buckets" -> EmbeddingOps.lshBucketsSql,
+    "q27_ann_bucketed" -> EmbeddingOps.annBucketedSql,
+    "q28_embed_neardup" -> EmbeddingOps.nearDupPairsSql,
   )
 }

@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Near-duplicate detection for training-data pipelines: MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard verification.
+  *
+  * Pipeline shape (the scale path for 100 TB):
+  *   1. shingle (word bigrams) per document              — narrow map
+  *   2. minhash signatures                               — one shuffle on doc_id
+  *   3. LSH banding: candidate pairs share a band bucket — shuffle on band key;
+  *      never O(n²): the join fans out only within buckets
+  *   4. exact Jaccard verification on candidates only    — bounded join
+  *
+  * All hashes are arithmetic over md5 prefixes, so an independent SQL
+  * engine (the DuckDB oracle) reproduces them bit-for-bit. At
+  * production scale swap in xxhash64 for speed; the topology is
+  * unchanged.
+  */
+object DedupOps {
+  // minhash parameters: 8 hashes, 4 bands x 2 rows
+  private[graft] val P = 4294967311L // prime > 2^32
+  private[graft] val A = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  private[graft] val B = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L)
+  val numHashes: Int = A.length
+  val numBands: Int = 4 // rows per band = 2
+  val estThreshold = 0.5
+  val jaccardThreshold = 0.5
+  val hammingThreshold = 10
+
+  private val toksE = "split(text, ' ')"
+  /** Distinct word-bigram shingles; guards single-token docs. */
+  private val bigramsE =
+    s"""case when size($toksE) < 2 then cast(array() as array<string>)
+       |else array_distinct(transform(sequence(1, size($toksE) - 1),
+       |  i -> concat(element_at($toksE, i), ' ', element_at($toksE, i + 1)))) end""".stripMargin
+
+  /** One row per (doc_id, distinct shingle) with its 32-bit hash. */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", s"explode($bigramsE) as s")
+
+  private def shingleHashes(spark: SparkSession, sfDir: String): DataFrame =
+    shingles(spark, sfDir)
+      .withColumn("h", expr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"))
+
+  /** MinHash signatures: mh_i = min over shingles of (a_i*h + b_i) % P.
+    * One hash-aggregate — map-side partial min, shuffle carries one
+    * row per doc. */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val aggs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"($a * h + $b) % $P")).as(s"mh$i")
+    }
+    shingleHashes(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("doc_id")
+  }
+
+  // shared oracle CTE prefix: documents -> distinct shingle hashes -> signatures
+  private val duckToks = "string_split(text, ' ')"
+  private val duckBigrams =
+    s"""CASE WHEN len($duckToks) < 2 THEN []::VARCHAR[]
+       |ELSE list_distinct(list_transform(generate_series(1, len($duckToks) - 1),
+       |  i -> $duckToks[i] || ' ' || $duckToks[i + 1])) END""".stripMargin
+  private val duckSigCte: String = {
+    val mins = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $P) AS mh$i"
+    }.mkString(", ")
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest($duckBigrams) AS s FROM documents),
+       |hh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM bg),
+       |sig AS (
+       |  SELECT doc_id, $mins FROM hh GROUP BY doc_id)""".stripMargin
+  }
+
+  val minhashSignaturesSql: String = {
+    val cols = (0 until numHashes).map(i => s"mh$i").mkString(", ")
+    s"$duckSigCte\nSELECT doc_id, $cols FROM sig ORDER BY doc_id"
+  }
+
+  /** LSH banding: band key b = concat(b, mh_{2b}, mh_{2b+1});
+    * candidate pairs share at least one band; est_jaccard = fraction
+    * of equal minhashes, thresholded. */
+  def lshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = minhashSignatures(spark, sfDir)
+    val bandCols = (0 until numBands).map { b =>
+      concat_ws("_", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.columns.filter(_ != "doc_id").foldLeft(sig)((d, c) => d.withColumnRenamed(c, c + "_a"))
+    val sb = sig.columns.filter(_ != "doc_id").foldLeft(sig)((d, c) => d.withColumnRenamed(c, c + "_b"))
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sa.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(sb.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .withColumn("est_jaccard", matches.cast("double") / numHashes)
+      .where(col("est_jaccard") >= estThreshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val duckBandsCte: String = {
+    val bands = (0 until numBands).map { b =>
+      s"SELECT doc_id, concat($b, '_', mh${2 * b}, '_', mh${2 * b + 1}) AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    s""",bands AS ($bands),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  val lshCandidatesSql: String = {
+    val matches = (0 until numHashes)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$duckSigCte
+       |$duckBandsCte
+       |SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / $numHashes AS est_jaccard
+       |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+       |WHERE CAST($matches AS DOUBLE) / $numHashes >= $estThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard verification over the LSH candidate pairs —
+    * the bounded second stage; never touches non-candidate pairs. */
+  def jaccardVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = lshCandidates(spark, sfDir).select("doc_a", "doc_b")
+    val bg = shingles(spark, sfDir)
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(bg.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(bg.as("y"), col("y.doc_id") === col("doc_b") && col("y.s") === col("x.s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6))
+      .where(col("jaccard") >= jaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val jaccardVerifySql: String =
+    s"""$duckSigCte
+       |$duckBandsCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN bg x ON x.doc_id = c.doc_a
+       |  JOIN bg y ON y.doc_id = c.doc_b AND y.s = x.s
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= $jaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash: 60-bit signature; bit j is the sign of the sum over
+    * shingles of ±1 depending on bit j of the shingle hash. Computed
+    * as 60 conditional-sum aggregates — no row explosion, single
+    * shuffle on doc_id. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val h60 = shingles(spark, sfDir)
+      .withColumn("h", expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"))
+    val bitSums = (0 until 60).map { j =>
+      sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val simExpr = (0 until 60)
+      .map(j => s"(case when s$j > 0 then ${1L << j}L else 0L end)")
+      .mkString(" + ")
+    h60.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", expr(simExpr))
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+  }
+
+  val simhashSql: String = {
+    val bitSums = (0 until 60).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val simExpr = (0 until 60)
+      .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest($duckBigrams) AS s FROM documents),
+       |hh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM bg),
+       |bits AS (SELECT doc_id, $bitSums FROM hh GROUP BY doc_id)
+       |SELECT doc_id, $simExpr AS simhash FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: 4 bands of 15 bits block the join;
+    * pairs in the same band bucket are checked by Hamming distance.
+    * Same LSH-style scale bound: no O(n²) comparison. */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = simhash(spark, sfDir)
+    val bandCols = (0 until 4).map { b =>
+      concat_ws("_", lit(b), expr(s"shiftright(simhash, ${15 * b}) & 32767"))
+    }
+    val bands = sh.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+    bands.as("x").join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= hammingThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashPairsSql: String = {
+    val bitSums = (0 until 60).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val simExpr = (0 until 60)
+      .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    val bands = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, concat($b, '_', (simhash >> ${15 * b}) & 32767) AS bk FROM sh"
+    }.mkString(" UNION ALL ")
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest($duckBigrams) AS s FROM documents),
+       |hh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM bg),
+       |bits AS (SELECT doc_id, $bitSums FROM hh GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $simExpr AS simhash FROM bits),
+       |bands AS ($bands)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $hammingThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

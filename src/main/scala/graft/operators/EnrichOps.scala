@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Row-level enrichment operators (SURVEY.md §2.3 T1-T13, §2.4 J1-J5,
+  * §2.9 scalar-function census).
+  *
+  * All pure Catalyst column expressions — no UDFs — so every query
+  * stays inside whole-stage codegen and predicates/pruning reach the
+  * scan.
+  */
+object EnrichOps {
+
+  /** flatMap/explode (T3/J2): token stream + frequency count — the
+    * classic split+explode shape (flink_learning/flink_typora.md:628
+    * word-count example). */
+  def explodeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("token")
+
+  val explodeTokensSql: String =
+    """SELECT token, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |GROUP BY token ORDER BY token""".stripMargin
+
+  /** JSON field extraction (T12/T13, J1 analogue over the events
+    * table): parse the props JSON payload with a null-tolerant path
+    * extraction, exactly the reference's json.loads→field pattern
+    * (utils/flink_kafka_to_mysql_utils.py:146-151). */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value").cast("decimal(18,2)").cast("double").as("value"))
+      .orderBy("event_id")
+
+  val jsonExtractSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+      |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  /** Scalar-function census (§2.9): date parts/trunc/format, epoch
+    * conversion, string ops, coalesce/null-default, numeric cast +
+    * truncation — the per-row function surface of the reference's
+    * parse/coerce suite (flink5_parse_walmart_order.py:384-445). */
+  def scalarCensus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .where(col("o_orderkey") % 100 === 0)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        hour(col("o_orderdate")).as("h"),
+        date_trunc("day", col("o_orderdate")).as("day_ts"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("fmt"),
+        expr("unix_millis(cast(o_orderdate as timestamp))").as("epoch_millis"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderpriority"), 1, 4).as("prio_trunc"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_norm"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+      .orderBy("o_orderkey")
+
+  val scalarCensusSql: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |  day(o_orderdate) AS d, hour(o_orderdate) AS h,
+      |  date_trunc('day', o_orderdate) AS day_ts,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fmt,
+      |  epoch_ms(o_orderdate) AS epoch_millis,
+      |  upper(o_orderpriority) AS prio_upper,
+      |  substr(o_orderpriority, 1, 4) AS prio_trunc,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin
+
+  /** COUNT DISTINCT + HAVING (§2.6 A9 + beyond-reference). At scale
+    * countDistinct is a two-phase shuffle; for approximate needs use
+    * approx_count_distinct (HLL) — exact here for oracle parity. */
+  def distinctHaving(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("uniq_users"), count(lit(1)).as("n"))
+      .where(col("n") > 10)
+      .orderBy("event_type")
+
+  val distinctHavingSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS n
+      |FROM events GROUP BY event_type HAVING COUNT(*) > 10 ORDER BY event_type""".stripMargin
+
+  /** SQL-text entry point (T10/§3.2): temp-view registration + a SQL
+    * string through Catalyst — the reference's Table-API/SQL path. */
+  def sqlLookupJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice, c_name, n_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_totalprice > 300000 ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val sqlLookupJoinSql: String =
+    """SELECT o_orderkey, o_totalprice, c_name, n_name
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_totalprice > 300000 ORDER BY o_orderkey""".stripMargin
+}
