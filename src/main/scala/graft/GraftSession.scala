@@ -33,6 +33,9 @@ object GraftSession {
       // the driver-generated events table carries TIMESTAMP(NANOS)
       // which Spark's parquet reader only surfaces as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 4.1's async checksum file manager deadlocks state-store
+      // commits under local-mode thread pools; plain checkpoint IO
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests/tools; cluster deployments pass their own

@@ -76,6 +76,8 @@ object SparkEntry {
     "q27_ann_bucketed" -> EmbeddingOps.annBucketed _,
     // similarity: embedding near-dup pairs
     "q28_embed_neardup" -> EmbeddingOps.nearDupPairs _,
+    // multimodal: binary media column + typed metadata extraction
+    "q29_media_meta" -> graft.functions.Multimodal.mediaMetaQuery _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -109,5 +111,6 @@ object SparkEntry {
     "q26_lsh_buckets" -> EmbeddingOps.lshBucketsSql,
     "q27_ann_bucketed" -> EmbeddingOps.annBucketedSql,
     "q28_embed_neardup" -> EmbeddingOps.nearDupPairsSql,
+    "q29_media_meta" -> graft.functions.Multimodal.mediaMetaQuerySql,
   )
 }

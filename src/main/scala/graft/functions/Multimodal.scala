@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal columns for training-data pipelines: image/audio/video
+  * as opaque `binary` columns with typed metadata, plus
+  * decode/feature-extract plumbing.
+  *
+  * The actual media decode is a STUB (no codec libraries in this
+  * environment): [[fakeDecodeFeatures]] derives a deterministic
+  * feature vector from the raw bytes. Everything around it — schema,
+  * per-partition batch processing, feature vector shape, partition
+  * parallelism — is real and tested, so swapping in a true decoder
+  * (JNI/FFmpeg/ImageIO) changes one function.
+  *
+  * Scale shape: media bytes never leave their partition; metadata
+  * extraction and feature extraction are narrow maps. At 100 TB the
+  * binary column stays columnar in parquet, and pushdown prunes it
+  * out of queries that only touch metadata.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_kind", StringType),
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", LongType),
+      StructField("content_md5", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  /** Build a media table from the documents fixture: text bytes stand
+    * in for opaque media payloads (deterministic fake). */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id").as("media_id"),
+        expr("element_at(array('image','audio','video'), cast(doc_id % 3 as int) + 1)")
+          .as("media_kind"),
+        col("text").cast("binary").as("content"))
+
+  /** Typed metadata from the binary column — pure Catalyst: md5 /
+    * octet_length are codegen'd; width/height/duration are
+    * deterministic stubs derived from the content hash (a real
+    * decoder would parse headers here). */
+  def withMetadata(df: DataFrame): DataFrame =
+    df.withColumn("h32",
+        expr("cast(conv(substring(md5(content), 1, 8), 16, 10) as bigint)"))
+      .withColumn("meta", struct(
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_md5"),
+        when(col("media_kind") === "image", (col("h32") % 1920 + 1).cast("int")).as("width"),
+        when(col("media_kind") === "image", (col("h32") % 1080 + 1).cast("int")).as("height"),
+        when(col("media_kind") =!= "image", col("h32") % 600000).as("duration_ms")))
+      .drop("h32")
+
+  /** Feature extraction over binary payloads in per-partition batches
+    * — the mapInPandas-style plumbing, Scala-native: one iterator pass
+    * per partition, fixed-dim Float vector per row.
+    *
+    * STUB decode: a 16-bin byte histogram normalized to unit L1 —
+    * deterministic, shape-correct. Replace the inner function with a
+    * real decoder to productionize. */
+  def fakeDecodeFeatures(df: DataFrame, contentCol: String = "content",
+                         dim: Int = 16): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType), nullable = true))
+    val idx = df.schema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val feats: Array[Float] =
+          if (bytes == null) null
+          else {
+            val hist = new Array[Float](dim)
+            var i = 0
+            while (i < bytes.length) {
+              hist((bytes(i) & 0xff) * dim / 256) += 1f
+              i += 1
+            }
+            val total = math.max(1f, bytes.length.toFloat)
+            hist.map(_ / total)
+          }
+        Row.fromSeq(r.toSeq :+ (if (feats == null) null else feats.toSeq))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** The oracle-checked metadata query: binary payload stats per doc. */
+  def mediaMetaQuery(spark: SparkSession, sfDir: String): DataFrame =
+    withMetadata(mediaFromDocuments(spark, sfDir))
+      .select(
+        col("media_id"), col("media_kind"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.content_md5").as("content_md5"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.duration_ms").as("duration_ms"))
+      .orderBy("media_id")
+
+  val mediaMetaQuerySql: String =
+    """SELECT doc_id AS media_id,
+      |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_kind,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  CASE WHEN doc_id % 3 = 0 THEN CAST((('0x' || substr(md5(text), 1, 8))::BIGINT % 1920 + 1) AS INT) END AS width,
+      |  CASE WHEN doc_id % 3 = 0 THEN CAST((('0x' || substr(md5(text), 1, 8))::BIGINT % 1080 + 1) AS INT) END AS height,
+      |  CASE WHEN doc_id % 3 <> 0 THEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 600000 END AS duration_ms
+      |FROM documents ORDER BY media_id""".stripMargin
+}

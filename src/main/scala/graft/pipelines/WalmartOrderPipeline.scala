@@ -1,0 +1,104 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.model.OrderParser
+import graft.sinks.JdbcUpsertSink
+import graft.sources.Sources
+
+/** The reference's production pipeline (SURVEY.md §3.1,
+  * flink6_walmart_order_pipeline.py): Kafka order JSON → parse/flatten
+  * to 52 columns → batched JDBC upsert, with checkpointing.
+  *
+  * Structural win vs the reference: the parse chain is pure Catalyst
+  * (no Python worker boundary), and exactly-once = checkpointed Kafka
+  * offsets + idempotent upsert (ST5) — identical recipe, engine-native.
+  */
+object WalmartOrderPipeline {
+
+  /** Streaming: Kafka → parse → JDBC upsert. Returns the started query.
+    *
+    * @param triggerMs  micro-batch interval ≈ the reference's JDBC
+    *                   batch_interval_ms (1000 reliability preset)
+    */
+  def fromKafka(spark: SparkSession, topic: String, bootstrapServers: String,
+                sink: JdbcUpsertSink, checkpointDir: String,
+                startingOffsets: String = "latest",
+                triggerMs: Long = 1000L): StreamingQuery =
+    Sources.kafkaStream(spark, topic, bootstrapServers, startingOffsets = startingOffsets)
+      .selectExpr("CAST(value AS STRING) AS value")
+      .transform(parse(_))
+      .writeStream
+      .foreachBatch(sink.asForeachBatch)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .start()
+
+  /** Streaming from any source that exposes a `value` JSON string
+    * column (tests use MemoryStream). */
+  def fromStream(raw: DataFrame, sink: JdbcUpsertSink, checkpointDir: String,
+                 triggerMs: Long = 1000L): StreamingQuery =
+    parse(raw)
+      .writeStream
+      .foreachBatch(sink.asForeachBatch)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .start()
+
+  /** Batch: daily order-JSON dump files (each file one order array —
+    * S8, flink5_parse_walmart_order.py:18-205). Multi-file reads
+    * union for free. */
+  def fromJsonFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val raw = spark.read.option("wholetext", "true").text(paths: _*)
+    parse(raw.withColumnRenamed("value", "value"), sourceTag = "file")
+  }
+
+  def parse(raw: DataFrame, sourceTag: String = "kafka_stream"): DataFrame =
+    OrderParser.parse(raw, "value", sourceTag)
+
+  // ---- stage-2 statistics (SURVEY §2.6 A8, FIXTURES.md §5) ----------
+
+  /** Per-minute order count + amount (order_statistics_minute). */
+  def statsMinute(flat: DataFrame): DataFrame =
+    flat.groupBy(window(col("orderDate_formatted"), "1 minute"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("chargeAmount")).cast("decimal(10,2)").as("total_amount"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("order_count"), col("total_amount"))
+
+  /** Per-hour variant (order_statistics_hour). */
+  def statsHour(flat: DataFrame): DataFrame =
+    flat.groupBy(window(col("orderDate_formatted"), "1 hour"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("chargeAmount")).cast("decimal(10,2)").as("total_amount"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("order_count"), col("total_amount"))
+
+  /** Per-user (customerEmailId) hourly stats. */
+  def statsUser(flat: DataFrame): DataFrame =
+    flat.groupBy(window(col("orderDate_formatted"), "1 hour"),
+        col("customerEmailId").as("user_or_email"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("chargeAmount")).cast("decimal(10,2)").as("total_amount"))
+      .select(col("user_or_email"), col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("order_count"), col("total_amount"))
+
+  /** Per-item (sku) hourly quantity + revenue. */
+  def statsItem(flat: DataFrame): DataFrame =
+    flat.groupBy(window(col("orderDate_formatted"), "1 hour"), col("sku"))
+      .agg(sum(col("quantity")).as("qty_sold"),
+        sum(col("chargeAmount")).cast("decimal(10,2)").as("revenue"))
+      .select(col("sku"), col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("qty_sold"), col("revenue"))
+
+  /** Order-line status distribution per hour. */
+  def statsStatus(flat: DataFrame): DataFrame =
+    flat.groupBy(window(col("orderDate_formatted"), "1 hour"), col("orderLineStatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("orderLineStatus"), col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("cnt"))
+}

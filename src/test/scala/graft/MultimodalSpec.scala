@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Multimodal
+import graft.tools.JdbcAdmin
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media table carries binary content with typed metadata") {
+    val media = Multimodal.withMetadata(Multimodal.mediaFromDocuments(spark, sf))
+    val r = media.where(col("media_kind") === "image").limit(1).collect()(0)
+    val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[Long]("n_bytes") > 0)
+    assert(meta.getAs[String]("content_md5").length == 32)
+    assert(meta.getAs[Int]("width") >= 1 && meta.getAs[Int]("width") <= 1920)
+    assert(meta.isNullAt(meta.fieldIndex("duration_ms"))) // images have no duration
+    val audio = media.where(col("media_kind") =!= "image").limit(1).collect()(0)
+      .getAs[org.apache.spark.sql.Row]("meta")
+    assert(!audio.isNullAt(audio.fieldIndex("duration_ms")))
+  }
+
+  test("fake decode produces fixed-dim unit-L1 feature vectors per partition batch") {
+    val media = Multimodal.mediaFromDocuments(spark, sf).repartition(3)
+    val feats = Multimodal.fakeDecodeFeatures(media)
+    val row = feats.orderBy("media_id").limit(1).collect()(0)
+    val v = row.getSeq[Float](row.fieldIndex("features")).toList
+    assert(v.length == 16)
+    assert(math.abs(v.sum - 1.0f) < 1e-3) // normalized histogram
+    // deterministic: same content -> same features
+    val row2 = Multimodal.fakeDecodeFeatures(media).orderBy("media_id").limit(1).collect()(0)
+    val again = row2.getSeq[Float](row2.fieldIndex("features")).toList
+    assert(v == again)
+  }
+}
+
+class JdbcAdminSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftadmin;create=true"
+
+  test("execute/introspect/count/batch against a live database") {
+    val admin = new JdbcAdmin(url)
+    admin.execute("CREATE TABLE t1 (id INT NOT NULL PRIMARY KEY, name VARCHAR(20))")
+    assert(!admin.executeIdempotent("CREATE TABLE t1 (id INT NOT NULL PRIMARY KEY)"))
+    assert(admin.tableExists("T1")) // Derby uppercases identifiers
+    assert(admin.columns("T1").map(_._1) == Seq("ID", "NAME"))
+    admin.executeBatch(Seq(
+      "INSERT INTO t1 VALUES (1, 'a')",
+      "INSERT INTO t1 VALUES (2, 'b')"))
+    assert(admin.countRows("t1") == 2)
+    // distributed read back through spark.read.jdbc
+    val df = admin.query(spark, "SELECT id, name FROM t1")
+    assert(df.count() == 2)
+    assert(df.columns.map(_.toLowerCase).toSeq == Seq("id", "name"))
+  }
+}
