@@ -78,6 +78,10 @@ object SparkEntry {
     "q28_embed_neardup" -> EmbeddingOps.nearDupPairs _,
     // multimodal: binary media column + typed metadata extraction
     "q29_media_meta" -> graft.functions.Multimodal.mediaMetaQuery _,
+    // beyond-reference: rollup/grouping sets
+    "q30_rollup" -> RelationalOps.rollupAgg _,
+    // §2.5 stream-stream window join (JN1) batch analogue
+    "q31_window_join" -> WindowOps.windowJoinQuery _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,5 +116,7 @@ object SparkEntry {
     "q27_ann_bucketed" -> EmbeddingOps.annBucketedSql,
     "q28_embed_neardup" -> EmbeddingOps.nearDupPairsSql,
     "q29_media_meta" -> graft.functions.Multimodal.mediaMetaQuerySql,
+    "q30_rollup" -> RelationalOps.rollupAggSql,
+    "q31_window_join" -> WindowOps.windowJoinQuerySql,
   )
 }

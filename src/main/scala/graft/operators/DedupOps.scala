@@ -47,18 +47,21 @@ object DedupOps {
     shingles(spark, sfDir)
       .withColumn("h", expr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"))
 
-  /** MinHash signatures: mh_i = min over shingles of (a_i*h + b_i) % P.
-    * One hash-aggregate — map-side partial min, shuffle carries one
-    * row per doc. */
-  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Unordered signature base — shared by the LSH/verify stages. */
+  private def signatures(spark: SparkSession, sfDir: String): DataFrame = {
     val aggs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * h + $b) % $P")).as(s"mh$i")
     }
     shingleHashes(spark, sfDir)
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy("doc_id")
   }
+
+  /** MinHash signatures: mh_i = min over shingles of (a_i*h + b_i) % P.
+    * One hash-aggregate — map-side partial min, shuffle carries one
+    * row per doc. */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    signatures(spark, sfDir).orderBy("doc_id")
 
   // shared oracle CTE prefix: documents -> distinct shingle hashes -> signatures
   private val duckToks = "string_split(text, ' ')"
@@ -87,7 +90,15 @@ object DedupOps {
     * candidate pairs share at least one band; est_jaccard = fraction
     * of equal minhashes, thresholded. */
   def lshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = minhashSignatures(spark, sfDir)
+    // materialize signatures once: the self-join + match-count below
+    // reference this subtree four times (at 100 TB this would be a
+    // parquet staging table; in-memory here, same topology)
+    val sig = signatures(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lshCandidatesFrom(sig)
+  }
+
+  private def lshCandidatesFrom(sig: DataFrame): DataFrame = {
     val bandCols = (0 until numBands).map { b =>
       concat_ws("_", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
     }
@@ -135,8 +146,11 @@ object DedupOps {
   /** Exact n-gram Jaccard verification over the LSH candidate pairs —
     * the bounded second stage; never touches non-candidate pairs. */
   def jaccardVerify(spark: SparkSession, sfDir: String): DataFrame = {
-    val cand = lshCandidates(spark, sfDir).select("doc_a", "doc_b")
+    val sig = signatures(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidatesFrom(sig).select("doc_a", "doc_b")
     val bg = shingles(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(bg.as("x"), col("x.doc_id") === col("doc_a"))
@@ -171,7 +185,7 @@ object DedupOps {
     * shingles of ±1 depending on bit j of the shingle hash. Computed
     * as 60 conditional-sum aggregates — no row explosion, single
     * shuffle on doc_id. */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+  private def simhashBase(spark: SparkSession, sfDir: String): DataFrame = {
     val h60 = shingles(spark, sfDir)
       .withColumn("h", expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"))
     val bitSums = (0 until 60).map { j =>
@@ -184,8 +198,10 @@ object DedupOps {
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash", expr(simExpr))
       .select("doc_id", "simhash")
-      .orderBy("doc_id")
   }
+
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashBase(spark, sfDir).orderBy("doc_id")
 
   val simhashSql: String = {
     val bitSums = (0 until 60).map { j =>
@@ -206,7 +222,8 @@ object DedupOps {
     * pairs in the same band bucket are checked by Hamming distance.
     * Same LSH-style scale bound: no O(n²) comparison. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = simhash(spark, sfDir)
+    val sh = simhashBase(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until 4).map { b =>
       concat_ws("_", lit(b), expr(s"shiftright(simhash, ${15 * b}) & 32767"))
     }

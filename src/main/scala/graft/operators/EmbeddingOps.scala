@@ -77,8 +77,11 @@ object EmbeddingOps {
 
   /** Sign-LSH bucket id per vector: bit p = sign of the projection on
     * pseudo-random plane p. */
-  def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val withProj = (0 until numPlanes).foldLeft(vectors(spark, sfDir)) { (df, p) =>
+  def lshBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    lshBucketsFrom(vectors(spark, sfDir)).orderBy("vec_id")
+
+  private def lshBucketsFrom(vecs: DataFrame): DataFrame = {
+    val withProj = (0 until numPlanes).foldLeft(vecs) { (df, p) =>
       df.withColumn(s"proj$p", expr(
         s"aggregate(sequence(0, ${dim - 1}), cast(0 as double), " +
           s"(s, d) -> s + ${planeSign(p, "d")} * element_at(v, d + 1))"))
@@ -88,7 +91,6 @@ object EmbeddingOps {
       .mkString(" + ")
     withProj.withColumn("bucket", expr(bucketExpr))
       .select("vec_id", "bucket")
-      .orderBy("vec_id")
   }
 
   private val duckBucketCte: String = {
@@ -117,8 +119,9 @@ object EmbeddingOps {
   def annBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vs = vectors(spark, sfDir)
-    val bk = lshBuckets(spark, sfDir)
+    val bk = lshBucketsFrom(vs)
     val vb = vs.join(bk, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = vb.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))
@@ -152,7 +155,8 @@ object EmbeddingOps {
     * within LSH buckets only (bounded candidate set at scale). */
   def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val vs = vectors(spark, sfDir)
-    val vb = vs.join(lshBuckets(spark, sfDir), "vec_id")
+    val vb = vs.join(lshBucketsFrom(vs), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = vb.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("nrm").as("na"), col("bucket").as("ba"))
     val b = vb.select(col("vec_id").as("vec_b"), col("v").as("vb"),

@@ -152,6 +152,21 @@ object RelationalOps {
       |  SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 10000
       |) t ORDER BY o_orderkey""".stripMargin
 
+  /** ROLLUP aggregation (beyond-reference: grouping-set analytics the
+    * reference lacks but any replacement engine is expected to have).
+    * Subtotal rows carry NULL group keys, identical in both engines. */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val rollupAggSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Exact dedup (A7 — dedup by purchaseOrderId,
     * order1_request_walmart_order.py:241-261) expressed
     * deterministically: keep the minimum id per duplicate group.

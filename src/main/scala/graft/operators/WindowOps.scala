@@ -115,6 +115,34 @@ object WindowOps {
       .orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
   }
 
+  /** Stream-stream window equi-join (JN1) batch analogue: signups and
+    * purchases of the same user paired when they fall in the SAME
+    * tumbling 1-hour window — the reference's window-join semantics
+    * (utils/flink_transform_utils.py:377-428): bucketized time
+    * equality on top of the equi-key. */
+  def windowJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val l = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        window(col("ts"), "1 hour").as("w"))
+    val r = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("user_id_r"), col("event_id").as("purchase_id"),
+        window(col("ts"), "1 hour").as("w2"))
+    l.join(r, col("user_id") === col("user_id_r") && col("w") === col("w2"))
+      .select(col("user_id"), col("w.start").as("window_start"),
+        col("signup_id"), col("purchase_id"))
+      .orderBy("user_id", "window_start", "signup_id", "purchase_id")
+  }
+
+  val windowJoinQuerySql: String =
+    """SELECT s.user_id AS user_id, date_trunc('hour', s.ts) AS window_start,
+      |  s.event_id AS signup_id, p.event_id AS purchase_id
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON s.user_id = p.user_id
+      | AND date_trunc('hour', s.ts) = date_trunc('hour', p.ts)
+      |ORDER BY user_id, window_start, signup_id, purchase_id""".stripMargin
+
   val intervalJoinSql: String =
     """SELECT s.user_id AS user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
       |  CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value
