@@ -21,14 +21,14 @@ object TextOps {
     * regex token count, type-token ratio, stopword ratio, mean token
     * length, and a composite quality score. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = "split(text, ' ')"
     val stopPred = stopwords.map(w => s"x = '$w'").mkString(" OR ")
     Tables.documents(spark, sfDir)
-      .withColumn("n_tokens", expr(s"size($toks)"))
+      .withColumn("toks", split(col("text"), " ")) // tokenize once, not per expression
+      .withColumn("n_tokens", expr("size(toks)"))
       .withColumn("n_bpeish", expr(
         "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))"))
-      .withColumn("n_distinct", expr(s"size(array_distinct($toks))"))
-      .withColumn("stop_cnt", expr(s"size(filter($toks, x -> $stopPred))"))
+      .withColumn("n_distinct", expr("size(array_distinct(toks))"))
+      .withColumn("stop_cnt", expr(s"size(filter(toks, x -> $stopPred))"))
       .withColumn("ttr", round(col("n_distinct") / col("n_tokens"), 6))
       .withColumn("stop_ratio", round(col("stop_cnt") / col("n_tokens"), 6))
       .withColumn("mean_tok_len",

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RelationalOps
+
+/** Property-based subset of the reference's 35-property test spec
+  * (.kiro/specs/flink-mysql-connector-test/design.md:246-402):
+  * aggregate determinism under repartitioning, null-on-failure
+  * coercion, JSON flatten losslessness, VARCHAR truncation, UTF-8
+  * preservation. Spark actions are expensive, so case counts are
+  * deliberately small — each case still covers a whole generated
+  * batch. */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  property("decimal-summed aggregates identical under any partitioning") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0, 999999).map(_ / 100.0))) { xs =>
+      val df = xs.toDF("v")
+      val results = Seq(1, 3, 7).map { n =>
+        df.repartition(n).agg(RelationalOps.decSum(col("v"))).collect()(0).getDouble(0)
+      }
+      results.distinct.size == 1
+    }
+
+  property("try_cast coercions null-on-failure, never throwing") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.numStr, Gen.alphaStr, Gen.const(""), Gen.const("  42  "),
+      Gen.const("-7"), Gen.const("1e3"), Gen.const("9" * 30)))) { gens =>
+      val xs = gens.take(30)
+      val out = xs.toDF("s")
+        .select(col("s").try_cast("int").as("i"), col("s").try_cast("long").as("l"),
+          col("s").try_cast("decimal(10,2)").as("d"))
+        .collect() // must not throw for ANY input
+      out.length == xs.length
+    }
+
+  private val orderSpec = Gen.zip(Gen.chooseNum(1000L, 999999L), Gen.chooseNum(1, 4))
+
+  property("order flatten lossless: one row per line, header duplicated, PK non-null") =
+    forAll(Gen.listOfN(3, orderSpec)) { specs0 =>
+      val specs = specs0.distinctBy(_._1)
+      val jsons = specs.map { case (po, n) =>
+        val lines = (1 to n).map(i => OrderFixtures.line(i, s"SKU-$po-$i")).mkString("[", ",", "]")
+        OrderFixtures.order(po.toString, lines)
+      }
+      val flat = graft.model.OrderParser.parse(jsons.toDF("value")).cache()
+      val countOk = flat.count() == specs.map(_._2).sum
+      val headerOk = specs.forall { case (po, n) =>
+        flat.where(col("purchaseOrderId") === po).count() == n
+      }
+      val pkOk = flat.where(col("purchaseOrderId").isNull || col("sku").isNull).count() == 0
+      flat.unpersist()
+      countOk && headerOk && pkOk
+    }
+
+  property("varchar truncation bounds every limited column") =
+    forAll(Gen.chooseNum(150, 400)) { len =>
+      val json = OrderFixtures.order("2000", s"[${OrderFixtures.line(1, "S" * len)}]")
+        .replace("1 Main St", "A" * len)
+        .replace("Springfield", "C" * len)
+      val flat = graft.model.OrderParser.parse(Seq(json).toDF("value"))
+      val limits = graft.model.WalmartOrderSchema.varcharLimits
+      val conds = limits.map { case (c, n) => length(col(c)) > n }.reduce(_ || _)
+      flat.where(conds).count() == 0
+    }
+
+  property("UTF-8 text survives the parse round trip") =
+    forAll(Gen.oneOf("咖啡豆", "Ünïcødé", "Français—été", "日本語テスト", "🙂emoji")) { name =>
+      val json = OrderFixtures.order("3000", s"[${OrderFixtures.line(1, "SKU0")}]")
+        .replace("Café Münster 咖啡", name)
+      val got = graft.model.OrderParser.parse(Seq(json).toDF("value"))
+        .select("productName").collect().map(_.getString(0)).toSet
+      got == Set(name)
+    }
+}
