@@ -103,13 +103,15 @@ object TextOps {
     * left fold (h*31 + codepoint) mod 1e9+7 — expressible in both
     * engines, stable under repartitioning. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    val norm = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+    val norm = expr("lower(trim(regexp_replace(text, '\\\\s+', ' ')))")
     Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
-        expr(s"cast(conv(substring(md5($norm), 1, 15), 16, 10) as bigint)").as("fp_md5_60"),
-        expr(s"aggregate(transform(filter(split($norm, ''), c -> c <> ''), c -> ascii(c)), " +
-          "cast(0 as bigint), (h, x) -> (h * 31 + x) % 1000000007)").as("fp_rolling"))
+        expr("cast(conv(substring(md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))), 1, 15), 16, 10) as bigint)")
+          .as("fp_md5_60"),
+        // native codegen'd Expression — see RollingHash for why this
+        // beats the aggregate(transform(split...)) built-in formulation
+        RollingHash.rolling_hash(norm).as("fp_rolling"))
       .orderBy("doc_id")
   }
 
