@@ -82,6 +82,8 @@ object SparkEntry {
     "q30_rollup" -> RelationalOps.rollupAgg _,
     // §2.5 stream-stream window join (JN1) batch analogue
     "q31_window_join" -> WindowOps.windowJoinQuery _,
+    // dedup pipeline end-to-end: surviving corpus after exact+near dedup
+    "q32_dedup_keep_list" -> DedupOps.dedupKeepList _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -118,5 +120,6 @@ object SparkEntry {
     "q29_media_meta" -> graft.functions.Multimodal.mediaMetaQuerySql,
     "q30_rollup" -> RelationalOps.rollupAggSql,
     "q31_window_join" -> WindowOps.windowJoinQuerySql,
+    "q32_dedup_keep_list" -> DedupOps.dedupKeepListSql,
   )
 }

@@ -184,6 +184,48 @@ object DedupOps {
        |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= $jaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** End-to-end dedup keep-list: drop exact duplicates (keep the
+    * minimum doc_id per identical text) and near-duplicates (for each
+    * LSH-verified pair, keep the smaller id). The typical final stage
+    * of a training-data dedup pipeline: the output is the surviving
+    * corpus. Anti-joins keep it linear — no O(n²) anywhere. */
+  def dedupKeepList(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val exactDrop = docs
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+      .where(col("doc_id") =!= col("keeper"))
+      .select("doc_id")
+    val nearDrop = jaccardVerify(spark, sfDir).select(col("doc_b").as("doc_id"))
+    docs.join(exactDrop.union(nearDrop).distinct(), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  val dedupKeepListSql: String =
+    s"""$duckSigCte
+       |$duckBandsCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN bg x ON x.doc_id = c.doc_a
+       |  JOIN bg y ON y.doc_id = c.doc_b AND y.s = x.s
+       |  GROUP BY c.doc_a, c.doc_b),
+       |near_drop AS (
+       |  SELECT doc_b AS doc_id
+       |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= $jaccardThreshold),
+       |exact_drop AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |    FROM documents) t
+       |  WHERE doc_id <> keeper)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
+       |  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+       |ORDER BY doc_id""".stripMargin
+
   /** SimHash: 60-bit signature; bit j is the sign of the sum over
     * shingles of ±1 depending on bit j of the shingle hash. Computed
     * as 60 conditional-sum aggregates — no row explosion, single

@@ -69,6 +69,11 @@ object WalmartOrderPipeline {
         col("window.end").as("window_end"),
         col("order_count"), col("total_amount"))
 
+  /** Streaming form of the per-minute stats: watermark on event time
+    * so windows finalize and state is bounded (append output mode). */
+  def statsMinuteStream(flatStream: DataFrame, maxDelay: String = "1 minute"): DataFrame =
+    statsMinute(flatStream.withWatermark("orderDate_formatted", maxDelay))
+
   /** Per-hour variant (order_statistics_hour). */
   def statsHour(flat: DataFrame): DataFrame =
     flat.groupBy(window(col("orderDate_formatted"), "1 hour"))
