@@ -33,11 +33,15 @@ object TextOps {
       .withColumn("stop_ratio", round(col("stop_cnt") / col("n_tokens"), 6))
       .withColumn("mean_tok_len",
         round((length(col("text")) - (col("n_tokens") - 1)) / col("n_tokens"), 6))
-      .withColumn("quality", round(
-        lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
-          lit(0.3) * least(lit(1.0), col("n_tokens") / lit(100.0)), 6))
+      // composite score in exact integer micro-units: compound double
+      // arithmetic (0.4*a + 0.3*b + ...) differs by 1 ulp across
+      // engines and flips 6-dp rounding; integer div is deterministic.
+      // quality = 0.4*ttr + 0.3*(1-stop_ratio) + 0.3*min(1, n_tokens/100)
+      .withColumn("quality_micro", expr(
+        """(400000L * n_distinct + 300000L * (n_tokens - stop_cnt)) div n_tokens
+          | + 3000L * least(n_tokens, 100)""".stripMargin))
       .select("doc_id", "n_tokens", "n_bpeish", "n_distinct", "stop_cnt",
-        "ttr", "stop_ratio", "mean_tok_len", "quality")
+        "ttr", "stop_ratio", "mean_tok_len", "quality_micro")
       .orderBy("doc_id")
   }
 
@@ -51,9 +55,10 @@ object TextOps {
        |  round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 6) AS ttr,
        |  round(len(list_filter(string_split(text, ' '), x -> $stopPred)) / len(string_split(text, ' ')), 6) AS stop_ratio,
        |  round((length(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')), 6) AS mean_tok_len,
-       |  round(0.4 * round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 6)
-       |      + 0.3 * (1.0 - round(len(list_filter(string_split(text, ' '), x -> $stopPred)) / len(string_split(text, ' ')), 6))
-       |      + 0.3 * least(1.0, len(string_split(text, ' ')) / 100.0), 6) AS quality
+       |  (400000 * len(list_distinct(string_split(text, ' ')))
+       |   + 300000 * (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '), x -> $stopPred))))
+       |    // len(string_split(text, ' '))
+       |   + 3000 * least(len(string_split(text, ' ')), 100) AS quality_micro
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
