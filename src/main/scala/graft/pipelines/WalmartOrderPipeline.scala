@@ -47,6 +47,32 @@ object WalmartOrderPipeline {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .start()
 
+  /** Config-driven assembly — the reference's YAML→pipeline wiring
+    * (flink6_walmart_order_pipeline.py:76-95 + config/config.py).
+    * Expected keys (graft.GraftConfig dotted form):
+    * kafka.bootstrap_servers, kafka.topic, kafka.starting_offsets,
+    * mysql.url, mysql.table, mysql.user, mysql.password,
+    * sink.batch_size, sink.max_retries, pipeline.checkpoint_dir,
+    * pipeline.trigger_ms. */
+  def fromConfig(spark: SparkSession, conf: graft.GraftConfig): StreamingQuery = {
+    val props = Seq("user" -> conf.get("mysql.user"), "password" -> conf.get("mysql.password"))
+      .collect { case (k, Some(v)) => k -> v }.toMap
+    val sink = new JdbcUpsertSink(
+      conf("mysql.url"),
+      conf.getOrElse("mysql.table", "ods.walmart_order"),
+      JdbcUpsertSink.Replace,
+      batchSize = conf.getInt("sink.batch_size", 100),
+      maxRetries = conf.getInt("sink.max_retries", 3),
+      props = props)
+    fromKafka(spark,
+      conf.getOrElse("kafka.topic", "walmart_order_raw"),
+      conf("kafka.bootstrap_servers"),
+      sink,
+      conf("pipeline.checkpoint_dir"),
+      startingOffsets = conf.getOrElse("kafka.starting_offsets", "latest"),
+      triggerMs = conf.getLong("pipeline.trigger_ms", 1000L))
+  }
+
   /** Batch: daily order-JSON dump files (each file one order array —
     * S8, flink5_parse_walmart_order.py:18-205). Multi-file reads
     * union for free. */

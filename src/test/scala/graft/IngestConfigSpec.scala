@@ -125,3 +125,13 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(conf("kafka.topic") == "t3")
   }
 }
+
+class PipelineConfigProbe extends org.scalatest.funsuite.AnyFunSuite {
+  test("fromConfig surfaces a missing required key by name") {
+    val conf = GraftConfig.parse("mysql:\n  url: jdbc:derby:memory:x\n")
+    val e = intercept[NoSuchElementException] {
+      graft.pipelines.WalmartOrderPipeline.fromConfig(TestSession.spark, conf)
+    }
+    assert(e.getMessage.contains("kafka.bootstrap_servers"))
+  }
+}
