@@ -84,6 +84,8 @@ object SparkEntry {
     "q31_window_join" -> WindowOps.windowJoinQuery _,
     // dedup pipeline end-to-end: surviving corpus after exact+near dedup
     "q32_dedup_keep_list" -> DedupOps.dedupKeepList _,
+    // similarity: IVF-style ANN (coarse centroids + inverted lists)
+    "q33_ivf_ann" -> EmbeddingOps.ivfAnn _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -121,5 +123,6 @@ object SparkEntry {
     "q30_rollup" -> RelationalOps.rollupAggSql,
     "q31_window_join" -> WindowOps.windowJoinQuerySql,
     "q32_dedup_keep_list" -> DedupOps.dedupKeepListSql,
+    "q33_ivf_ann" -> EmbeddingOps.ivfAnnSql,
   )
 }

@@ -151,6 +151,70 @@ object EmbeddingOps {
        |SELECT query_id, rank, vec_id, cos FROM ranked
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** IVF-style ANN: coarse quantization with deterministic centroids
+    * (the first `numCentroids` vectors stand in for k-means output —
+    * at production scale you'd train real centroids; the topology is
+    * identical). Every vector is assigned to its nearest centroid
+    * (one broadcast + narrow map over the corpus); a query searches
+    * only its own centroid's inverted list — the classic IVF nprobe=1
+    * trade-off of recall for a corpus-fraction scan. */
+  val numCentroids = 8
+
+  private def ivfAssignments(vs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = vs.where(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = vs.crossJoin(broadcast(cents))
+      .withColumn("csim", round(expr(dotE("cv", "v")) / (col("cn") * col("nrm")), 6))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    scored.withColumn("crank", row_number().over(w))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+  }
+
+  /** IVF ANN: top-3 neighbors per query among vectors sharing the
+    * query's nearest centroid. */
+  def ivfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssignments(vectors(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = assigned.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cent_id").as("qcent"))
+    val sims = assigned.join(broadcast(qs),
+        col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(expr(dotE("qv", "v")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select("query_id", "rank", "vec_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val ivfAnnSql: String =
+    s"""$duckVecCte,
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $numCentroids),
+       |scored AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+       |    round(list_dot_product(c.cv, n.v) / (c.cn * n.nrm), 6) AS csim
+       |  FROM n CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, cent_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank
+       |    FROM scored) t WHERE crank = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS qcent
+       |      FROM assigned WHERE vec_id < $numQueries),
+       |sims AS (
+       |  SELECT q.query_id, a.vec_id,
+       |    round(list_dot_product(q.qv, a.v) / (q.qn * a.nrm), 6) AS cos
+       |  FROM assigned a JOIN q ON a.cent_id = q.qcent AND a.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM sims)
+       |SELECT query_id, rank, vec_id, cos FROM ranked
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** Embedding near-duplicate pairs: cosine above threshold, searched
     * within LSH buckets only (bounded candidate set at scale). */
   def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {

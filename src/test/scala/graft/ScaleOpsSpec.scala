@@ -30,6 +30,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(joined.count() == li.join(o, "l_orderkey").count())
   }
 
+  test("date-partitioned writes prune partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .where(col("day") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // partition filter must reach the scan, not a post-scan Filter
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-05"),
+      s"expected partition pruning in:\n$plan")
+    assert(pruned.count() > 0)
+  }
+
   test("approx distinct lands within the error bound of exact") {
     val ev = Tables.events(spark, sf)
     val exact = ev.select(countDistinct("user_id")).collect()(0).getLong(0).toDouble
