@@ -19,6 +19,12 @@ import graft.Tables
   * engine (the DuckDB oracle) reproduces them bit-for-bit. At
   * production scale swap in xxhash64 for speed; the topology is
   * unchanged.
+  *
+  * Caller contract: the pair/verify operators persist() shared
+  * signature subtrees for the lifetime of the returned plan. Loops
+  * issuing many such queries should `spark.catalog.clearCache()`
+  * between them (graft.Verify does), or at 100 TB materialize the
+  * signatures to a staging table instead.
   */
 object DedupOps {
   // minhash parameters: 8 hashes, 4 bands x 2 rows
@@ -128,10 +134,17 @@ object DedupOps {
     val bands = (0 until numBands).map { b =>
       s"SELECT doc_id, concat($b, '_', mh${2 * b}, '_', mh${2 * b + 1}) AS bk FROM sig"
     }.mkString(" UNION ALL ")
+    val matches = (0 until numHashes)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
     s""",bands AS ($bands),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id)""".stripMargin
+       |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+       |vcand AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+       |  WHERE CAST($matches AS DOUBLE) / $numHashes >= $estThreshold)""".stripMargin
   }
 
   val lshCandidatesSql: String = {
@@ -175,7 +188,7 @@ object DedupOps {
        |sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS i
-       |  FROM cand c
+       |  FROM vcand c
        |  JOIN bg x ON x.doc_id = c.doc_a
        |  JOIN bg y ON y.doc_id = c.doc_b AND y.s = x.s
        |  GROUP BY c.doc_a, c.doc_b)
@@ -208,7 +221,7 @@ object DedupOps {
        |sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS i
-       |  FROM cand c
+       |  FROM vcand c
        |  JOIN bg x ON x.doc_id = c.doc_a
        |  JOIN bg y ON y.doc_id = c.doc_b AND y.s = x.s
        |  GROUP BY c.doc_a, c.doc_b),

@@ -85,12 +85,15 @@ object WalmartOrderPipeline {
     OrderParser.parse(raw, "value", sourceTag)
 
   // ---- stage-2 statistics (SURVEY §2.6 A8, FIXTURES.md §5) ----------
+  // Totals use DECIMAL(20,2), wider than the reference's sink column
+  // (10,2): the sum of (10,2) values overflows the narrow type at
+  // realistic aggregate revenue and would silently null out.
 
   /** Per-minute order count + amount (order_statistics_minute). */
   def statsMinute(flat: DataFrame): DataFrame =
     flat.groupBy(window(col("orderDate_formatted"), "1 minute"))
       .agg(count(lit(1)).as("order_count"),
-        sum(col("chargeAmount")).cast("decimal(10,2)").as("total_amount"))
+        sum(col("chargeAmount")).cast("decimal(20,2)").as("total_amount"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("order_count"), col("total_amount"))
@@ -104,7 +107,7 @@ object WalmartOrderPipeline {
   def statsHour(flat: DataFrame): DataFrame =
     flat.groupBy(window(col("orderDate_formatted"), "1 hour"))
       .agg(count(lit(1)).as("order_count"),
-        sum(col("chargeAmount")).cast("decimal(10,2)").as("total_amount"))
+        sum(col("chargeAmount")).cast("decimal(20,2)").as("total_amount"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("order_count"), col("total_amount"))
@@ -114,7 +117,7 @@ object WalmartOrderPipeline {
     flat.groupBy(window(col("orderDate_formatted"), "1 hour"),
         col("customerEmailId").as("user_or_email"))
       .agg(count(lit(1)).as("order_count"),
-        sum(col("chargeAmount")).cast("decimal(10,2)").as("total_amount"))
+        sum(col("chargeAmount")).cast("decimal(20,2)").as("total_amount"))
       .select(col("user_or_email"), col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("order_count"), col("total_amount"))
 
@@ -122,7 +125,7 @@ object WalmartOrderPipeline {
   def statsItem(flat: DataFrame): DataFrame =
     flat.groupBy(window(col("orderDate_formatted"), "1 hour"), col("sku"))
       .agg(sum(col("quantity")).as("qty_sold"),
-        sum(col("chargeAmount")).cast("decimal(10,2)").as("revenue"))
+        sum(col("chargeAmount")).cast("decimal(20,2)").as("revenue"))
       .select(col("sku"), col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("qty_sold"), col("revenue"))
 

@@ -176,13 +176,29 @@ class JdbcUpsertSink(
               val updSql = updateSql(table, allCols, keys)
               val insSql = buildSql(table, allCols, Append)
               val updOrder = allCols.filterNot(keys.contains) ++ keys
-              (batch, c) => {
+              val keyIdx = keys.map(schema.fieldIndex)
+              (batch0, c) => {
+                // last-wins per key within the batch (REPLACE semantics):
+                // two INSERTs for the same new key would violate the PK
+                val byKey = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Row]
+                batch0.foreach(r => byKey(keyIdx.map(r.get)) = r)
+                val batch = byKey.values.toSeq
                 val upd = c.prepareStatement(updSql)
                 val ins = c.prepareStatement(insSql)
                 try {
                   batch.foreach { r => bindCols(upd, r, schema, updOrder); upd.addBatch() }
                   val counts = upd.executeBatch()
-                  val missed = batch.zip(counts.toSeq).collect {
+                  // drivers returning SUCCESS_NO_INFO (-2, e.g. MySQL with
+                  // rewriteBatchedStatements) hide per-row counts: redo
+                  // row-by-row so missed rows are actually detected
+                  val reliable =
+                    if (counts.contains(java.sql.Statement.SUCCESS_NO_INFO)) {
+                      batch.map { r =>
+                        bindCols(upd, r, schema, updOrder)
+                        upd.executeUpdate()
+                      }
+                    } else counts.toSeq
+                  val missed = batch.zip(reliable).collect {
                     case (r, n) if n == 0 => r
                   }
                   missed.foreach { r => bindRow(ins, r, schema); ins.addBatch() }

@@ -56,8 +56,9 @@ object OrderApiIngest {
       val resp =
         try transport(HttpReq(url, Map("Authorization" -> s"Bearer $tok")))
         catch {
-          case e: java.io.IOException if attempt < maxRetries =>
-            attempt += 1; Thread.sleep(pauseMs); HttpResp(-1, "")
+          // fold transport failures into the retryable-status path so
+          // the retry budget is counted exactly once per attempt
+          case _: java.io.IOException => HttpResp(-1, "")
         }
       resp.status match {
         case 200 => return (resp.body, tok)
@@ -87,10 +88,13 @@ object OrderApiIngest {
       val (body, tok2) = fetchWithRetry(transport, api, url, token, maxRetries, pauseMs)
       token = tok2
       val (totalCount, orders) = api.parsePage(body)
-      if (totalCount > limit && stepMinutes > 10) {
-        // auto-split: descend to 10-minute sub-windows (:162-189)
-        val subs = Iterator.iterate(f)(_.plusMinutes(10)).takeWhile(_.isBefore(t)).toSeq
-        subs.flatMap(s => fetchRange(s, minOf(s.plusMinutes(10), t), 10))
+      if (totalCount > limit && stepMinutes > 1) {
+        // auto-split: hourly windows descend to 10-minute sub-windows
+        // (:162-189); a still-over-limit 10-minute window descends to
+        // 1-minute windows rather than silently dropping pages
+        val step = if (stepMinutes > 10) 10L else 1L
+        val subs = Iterator.iterate(f)(_.plusMinutes(step)).takeWhile(_.isBefore(t)).toSeq
+        subs.flatMap(s => fetchRange(s, minOf(s.plusMinutes(step), t), step))
       } else orders
     }
 

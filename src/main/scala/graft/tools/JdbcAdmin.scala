@@ -18,22 +18,24 @@ import graft.sources.Sources
 class JdbcAdmin(url: String, props: Map[String, String] = Map.empty,
                 maxRetries: Int = 3, backoffMs: Long = 1000L) extends Serializable {
 
+  /** Run `f` with a fresh connection; the WHOLE attempt (connect +
+    * execute) retries with linear backoff on SQLException — the
+    * reference's operation-level retry (unified_mysql.py:135-157),
+    * which also covers transient deadlocks/lock-timeouts. Callers
+    * should only route idempotent statements through the retry. */
   private def withConnection[T](f: Connection => T): T = {
     var attempt = 0
     var result: Option[T] = None
     while (result.isEmpty) {
-      val conn =
-        try {
-          val p = new java.util.Properties()
-          props.foreach { case (k, v) => p.setProperty(k, v) }
-          DriverManager.getConnection(url, p)
-        } catch {
-          case e: java.sql.SQLException if attempt < maxRetries =>
-            attempt += 1; Thread.sleep(backoffMs * attempt); null
-        }
-      if (conn != null) {
+      try {
+        val p = new java.util.Properties()
+        props.foreach { case (k, v) => p.setProperty(k, v) }
+        val conn = DriverManager.getConnection(url, p)
         try result = Some(f(conn))
         finally conn.close()
+      } catch {
+        case _: java.sql.SQLException if attempt < maxRetries =>
+          attempt += 1; Thread.sleep(backoffMs * attempt)
       }
     }
     result.get
@@ -77,8 +79,10 @@ class JdbcAdmin(url: String, props: Map[String, String] = Map.empty,
   def executeIdempotent(sql: String): Boolean =
     try { execute(sql); true }
     catch {
+      // "already exists" only — "does not exist" must propagate
       case e: java.sql.SQLException
-          if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) => false
+          if Option(e.getMessage).exists(m =>
+            m.toLowerCase.contains("already exist")) => false
     }
 
   /** Table columns via JDBC metadata (DESCRIBE analogue,

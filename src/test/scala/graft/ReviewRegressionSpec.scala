@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.DriverManager
+import java.time.LocalDateTime
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.sinks.JdbcUpsertSink
+import graft.sources.OrderApiIngest
+import graft.sources.OrderApiIngest._
+import graft.tools.JdbcAdmin
+
+/** Regressions for defects found in the round-1 code review. */
+class ReviewRegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftreg;create=true"
+
+  test("UpdateInsert survives duplicate keys within one batch (last wins)") {
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE dupb (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(10))")
+    conn.close()
+    val sink = new JdbcUpsertSink(url, "dupb",
+      JdbcUpsertSink.UpdateInsert(Seq("id")), batchSize = 10, maxRetries = 0)
+    // same new key twice in one batch: previously two INSERTs -> PK violation
+    sink.write(Seq((1L, "first"), (2L, "x"), (1L, "second")).toDF("id", "v").coalesce(1))
+    val c = DriverManager.getConnection(url)
+    val rs = c.createStatement().executeQuery("SELECT v FROM dupb WHERE id = 1")
+    rs.next()
+    assert(rs.getString(1) == "second") // REPLACE semantics: last wins
+    c.close()
+  }
+
+  test("executeIdempotent propagates does-not-exist errors") {
+    val admin = new JdbcAdmin(url, maxRetries = 0)
+    admin.execute("CREATE TABLE idem_t (id INT)")
+    // true idempotency case still tolerated
+    assert(!admin.executeIdempotent("CREATE TABLE idem_t (id INT)"))
+    // "does not exist" is NOT an already-exists case and must surface
+    // (Derby: 'MISSING_T' does not exist — the old substring match
+    // on 'exist' swallowed this)
+    intercept[java.sql.SQLException] {
+      admin.executeIdempotent("DROP TABLE missing_t")
+    }
+  }
+
+  test("over-limit 10-minute windows split to 1-minute windows instead of dropping pages") {
+    val calls = scala.collection.mutable.ListBuffer.empty[String]
+    val api = Api(
+      listUrl = (f, t, _, limit) => s"u?from=$f&to=$t&limit=$limit",
+      fetchToken = () => "tok",
+      parsePage = body => {
+        val parts = body.split(";", 2)
+        (parts(0).toInt, parts.lift(1).filter(_.nonEmpty)
+          .map(_.split(",").toSeq).getOrElse(Nil).map(id => Order(id, "{}")))
+      })
+    val transport: Transport = req => {
+      calls += req.url
+      // span in minutes parsed from the from/to timestamps
+      val ts = """from=([0-9T:\-]+)&to=([0-9T:\-]+)""".r.findFirstMatchIn(req.url).get
+      val span = java.time.Duration.between(
+        LocalDateTime.parse(ts.group(1)), LocalDateTime.parse(ts.group(2))).toMinutes
+      span match {
+        case 60 => HttpResp(200, "30;IGN")       // hour over limit -> split
+        case 10 if req.url.contains("from=2025-10-01T00:00:00") =>
+          HttpResp(200, "5;IGN2")                // first 10-min window ALSO over limit
+        case 10 => HttpResp(200, s"1;t${calls.size}")
+        case 1 => HttpResp(200, s"1;m${calls.size}")
+      }
+    }
+    val out = OrderApiIngest.fetchWindow(transport, api,
+      LocalDateTime.parse("2025-10-01T00:00:00"),
+      LocalDateTime.parse("2025-10-01T01:00:00"), "S", limit = 2)
+    // first 10-min window split into 10 one-minute fetches + 5 other 10-min windows
+    assert(out.size == 15, s"got ${out.size}: ${out.map(_.purchaseOrderId)}")
+    assert(out.map(_.purchaseOrderId).forall(id => id.startsWith("m") || id.startsWith("t")))
+  }
+
+  test("transport failures consume exactly one retry each") {
+    val attempts = new AtomicInteger()
+    val api = Api(
+      listUrl = (_, _, _, _) => "u",
+      fetchToken = () => "tok",
+      parsePage = body => (1, Seq(Order(body, "{}"))))
+    val transport: Transport = _ =>
+      if (attempts.incrementAndGet() <= 3) throw new java.io.IOException("flaky")
+      else HttpResp(200, "OK")
+    // maxRetries=3 must tolerate exactly 3 transport failures
+    val out = OrderApiIngest.fetchWindow(transport, api,
+      LocalDateTime.parse("2025-10-01T00:00:00"),
+      LocalDateTime.parse("2025-10-01T01:00:00"), "S", maxRetries = 3, pauseMs = 1)
+    assert(out.map(_.purchaseOrderId) == Seq("OK"))
+    assert(attempts.get() == 4)
+  }
+}
