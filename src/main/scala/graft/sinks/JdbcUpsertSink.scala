@@ -186,20 +186,15 @@ class JdbcUpsertSink(
                 val upd = c.prepareStatement(updSql)
                 val ins = c.prepareStatement(insSql)
                 try {
-                  batch.foreach { r => bindCols(upd, r, schema, updOrder); upd.addBatch() }
-                  val counts = upd.executeBatch()
-                  // drivers returning SUCCESS_NO_INFO (-2, e.g. MySQL with
-                  // rewriteBatchedStatements) hide per-row counts: redo
-                  // row-by-row so missed rows are actually detected
-                  val reliable =
-                    if (counts.contains(java.sql.Statement.SUCCESS_NO_INFO)) {
-                      batch.map { r =>
-                        bindCols(upd, r, schema, updOrder)
-                        upd.executeUpdate()
-                      }
-                    } else counts.toSeq
-                  val missed = batch.zip(reliable).collect {
-                    case (r, n) if n == 0 => r
+                  // updates run per-row: executeUpdate counts are reliable
+                  // on every driver, whereas executeBatch may return
+                  // SUCCESS_NO_INFO (e.g. MySQL rewriteBatchedStatements)
+                  // and misroute rows to INSERT. UpdateInsert is the
+                  // portability mode — the batched fast paths are
+                  // Replace/OnDuplicate/Merge.
+                  val missed = batch.filter { r =>
+                    bindCols(upd, r, schema, updOrder)
+                    upd.executeUpdate() == 0
                   }
                   missed.foreach { r => bindRow(ins, r, schema); ins.addBatch() }
                   if (missed.nonEmpty) { ins.executeBatch(); () }

@@ -52,13 +52,14 @@ object OrderApiIngest {
                              pauseMs: Long): (String, String) = {
     var tok = token
     var attempt = 0
+    var lastErr: Throwable = null
     while (true) {
       val resp =
         try transport(HttpReq(url, Map("Authorization" -> s"Bearer $tok")))
         catch {
           // fold transport failures into the retryable-status path so
           // the retry budget is counted exactly once per attempt
-          case _: java.io.IOException => HttpResp(-1, "")
+          case e: java.io.IOException => lastErr = e; HttpResp(-1, "")
         }
       resp.status match {
         case 200 => return (resp.body, tok)
@@ -69,7 +70,8 @@ object OrderApiIngest {
           attempt += 1
           Thread.sleep(pauseMs)
         case s =>
-          throw new RuntimeException(s"order API failed with HTTP $s after $attempt retries: $url")
+          throw new RuntimeException(
+            s"order API failed with HTTP $s after $attempt retries: $url", lastErr)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -95,7 +97,15 @@ object OrderApiIngest {
         val step = if (stepMinutes > 10) 10L else 1L
         val subs = Iterator.iterate(f)(_.plusMinutes(step)).takeWhile(_.isBefore(t)).toSeq
         subs.flatMap(s => fetchRange(s, minOf(s.plusMinutes(step), t), step))
-      } else orders
+      } else {
+        if (totalCount > limit) {
+          // the 1-minute floor: can't split further — surface the loss
+          System.err.println(
+            s"[ingest] WARNING window $f..$t has $totalCount orders > page limit $limit; " +
+              s"only the first page was returned")
+        }
+        orders
+      }
     }
 
     // hour-chunked outer loop (:162-173)

@@ -18,24 +18,35 @@ import graft.sources.Sources
 class JdbcAdmin(url: String, props: Map[String, String] = Map.empty,
                 maxRetries: Int = 3, backoffMs: Long = 1000L) extends Serializable {
 
-  /** Run `f` with a fresh connection; the WHOLE attempt (connect +
-    * execute) retries with linear backoff on SQLException — the
-    * reference's operation-level retry (unified_mysql.py:135-157),
-    * which also covers transient deadlocks/lock-timeouts. Callers
-    * should only route idempotent statements through the retry. */
+  /** Run `f` with a fresh connection. Connection acquisition retries
+    * on any SQLException; statement execution retries ONLY on
+    * transient/recoverable failures (deadlock, lock timeout,
+    * connection drop) — deterministic statement errors (syntax,
+    * missing object, constraint) propagate immediately so callers
+    * aren't stalled through pointless backoff and non-idempotent DML
+    * isn't blindly re-applied (unified_mysql.py:135-157 semantics). */
   private def withConnection[T](f: Connection => T): T = {
     var attempt = 0
     var result: Option[T] = None
     while (result.isEmpty) {
-      try {
-        val p = new java.util.Properties()
-        props.foreach { case (k, v) => p.setProperty(k, v) }
-        val conn = DriverManager.getConnection(url, p)
+      val conn: Connection =
+        try {
+          val p = new java.util.Properties()
+          props.foreach { case (k, v) => p.setProperty(k, v) }
+          DriverManager.getConnection(url, p)
+        } catch {
+          case _: java.sql.SQLException if attempt < maxRetries =>
+            attempt += 1; Thread.sleep(backoffMs * attempt); null
+        }
+      if (conn != null) {
         try result = Some(f(conn))
-        finally conn.close()
-      } catch {
-        case _: java.sql.SQLException if attempt < maxRetries =>
-          attempt += 1; Thread.sleep(backoffMs * attempt)
+        catch {
+          case _: java.sql.SQLTransientException |
+               _: java.sql.SQLRecoverableException |
+               _: java.sql.SQLTransactionRollbackException
+              if attempt < maxRetries =>
+            attempt += 1; Thread.sleep(backoffMs * attempt)
+        } finally conn.close()
       }
     }
     result.get

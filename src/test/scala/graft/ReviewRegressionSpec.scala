@@ -31,6 +31,17 @@ class ReviewRegressionSpec extends SparkSpec {
     c.close()
   }
 
+  test("deterministic statement errors fail fast, without retry backoff") {
+    // large backoff: any retry of a deterministic error would stall >5s
+    val admin = new JdbcAdmin(url, maxRetries = 3, backoffMs = 5000)
+    admin.execute("CREATE TABLE fastfail_t (id INT)")
+    val t0 = System.nanoTime()
+    assert(!admin.executeIdempotent("CREATE TABLE fastfail_t (id INT)"))
+    intercept[java.sql.SQLException] { admin.execute("SELECT FROM syntax error") }
+    assert((System.nanoTime() - t0) / 1e9 < 4.0,
+      "deterministic errors must not be retried with backoff")
+  }
+
   test("executeIdempotent propagates does-not-exist errors") {
     val admin = new JdbcAdmin(url, maxRetries = 0)
     admin.execute("CREATE TABLE idem_t (id INT)")

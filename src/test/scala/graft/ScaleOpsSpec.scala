@@ -19,15 +19,30 @@ class ScaleOpsSpec extends SparkSpec {
       plain.agg(sum("l_quantity")).collect()(0).getDouble(0))
   }
 
-  test("bucketed join co-locates: no shuffle exchange above the scans") {
-    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
-    val o = Tables.orders(spark, sf).select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
-    val joined = ScaleOps.bucketedJoin(li, o, "l_orderkey", buckets = 4,
-      "bkt_lineitem", "bkt_orders")
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"bucketed join must not shuffle:\n$plan")
-    assert(joined.count() == li.join(o, "l_orderkey").count())
+  test("bucketed join co-locates: sort-merge join with no shuffle exchange") {
+    // disable broadcast so the planner must choose SMJ — otherwise the
+    // tiny test tables broadcast and the no-shuffle assertion is vacuous
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val o = Tables.orders(spark, sf).select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      val joined = ScaleOps.bucketedJoin(li, o, "l_orderkey", buckets = 4,
+        "bkt_lineitem", "bkt_orders")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      // control: the same join unbucketed DOES shuffle under these confs
+      val unbucketed = li.join(o, "l_orderkey")
+      assert(unbucketed.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      assert(joined.count() == unbucketed.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    }
   }
 
   test("date-partitioned writes prune partitions at the scan") {
