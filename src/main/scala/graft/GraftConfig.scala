@@ -68,7 +68,13 @@ object GraftConfig {
 
   /** Merge: defaults first, then each override file, then env vars
     * with the given prefix (GRAFT_KAFKA_BOOTSTRAP_SERVERS →
-    * kafka.bootstrap_servers). */
+    * kafka.bootstrap_servers).
+    *
+    * Section/key split: a double underscore, if present, is the
+    * explicit separator (GRAFT_MY_SECTION__KEY → my_section.key — the
+    * only way to address a section whose name itself contains an
+    * underscore); otherwise the FIRST underscore splits, so plain
+    * single-level sections work unadorned. */
   def resolve(defaultPath: Option[String] = None,
               overridePaths: Seq[String] = Nil,
               envPrefix: String = "GRAFT_",
@@ -79,7 +85,12 @@ object GraftConfig {
       .foldLeft(base)((c, p) => c ++ load(p))
     val envConf = GraftConfig(env.collect {
       case (k, v) if k.startsWith(envPrefix) =>
-        val key = k.stripPrefix(envPrefix).toLowerCase.replaceFirst("_", ".")
+        val body = k.stripPrefix(envPrefix).toLowerCase
+        val key =
+          if (body.contains("__")) {
+            val i = body.indexOf("__")
+            body.substring(0, i) + "." + body.substring(i + 2)
+          } else body.replaceFirst("_", ".")
         key -> v
     })
     withFiles ++ envConf

@@ -84,5 +84,16 @@ object RollingHash {
   /** SQL registration: SELECT rolling_hash(text) ... */
   def register(spark: SparkSession, name: String = "rolling_hash"): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => RollingHash(exprs.head), "built-in")
+      name,
+      exprs => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> name, "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        RollingHash(exprs.head)
+      },
+      "built-in")
 }

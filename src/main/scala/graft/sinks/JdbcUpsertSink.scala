@@ -41,7 +41,13 @@ object JdbcUpsertSink {
   /** Plain INSERT (no upsert). */
   case object Append extends Mode
 
-  /** Build the parameterized DML for `table` with `cols`. */
+  /** Build the parameterized DML for `table` with `cols`.
+    *
+    * Note: `UpdateInsert` is a two-statement mode — this returns only
+    * the UPDATE half; the INSERT half is `buildSql(table, cols, Append)`
+    * (the sink's write loop pairs them). It requires at least one
+    * non-key column, since `UPDATE t SET <nothing>` is not SQL —
+    * all-key rows need `Append`/`Replace`/`Merge` instead. */
   def buildSql(table: String, cols: Seq[String], mode: Mode): String = {
     val colList = cols.mkString(", ")
     val qs = cols.map(_ => "?").mkString(", ")
@@ -61,6 +67,9 @@ object JdbcUpsertSink {
   }
 
   private[sinks] def updateSql(table: String, cols: Seq[String], keys: Seq[String]): String = {
+    require(cols.exists(c => !keys.contains(c)),
+      s"UpdateInsert mode needs at least one non-key column to SET " +
+        s"(all of ${cols.mkString(", ")} are keys); use Append or Merge")
     val sets = cols.filterNot(keys.contains).map(c => s"$c = ?").mkString(", ")
     val cond = keys.map(k => s"$k = ?").mkString(" AND ")
     s"UPDATE $table SET $sets WHERE $cond"

@@ -62,9 +62,15 @@ object CountWindows {
       }
   }
 
-  /** Sliding count window: emit `agg` over the last `size` elements
-    * every `slide` elements (W5, :260-292; keyed only — the reference
-    * raises on windowAll, we match by requiring a key). */
+  /** Sliding count window: emit `agg` over the last (up to) `size`
+    * elements every `slide` elements (W5, :260-292; keyed only — the
+    * reference raises on windowAll, we match by requiring a key).
+    *
+    * Flink parity: `count_window(size, slide)` is CountTrigger(slide)
+    * + CountEvictor(size), which fires on every `slide`-th element
+    * from the FIRST element — the early firings see a partial buffer
+    * (fewer than `size` elements) until `size` have arrived.
+    */
   def sliding[K: Encoder, V: Encoder, O: Encoder](
       ds: Dataset[V], key: V => K, size: Int, slide: Int,
       agg: (K, Seq[V]) => O,
@@ -88,8 +94,10 @@ object CountWindows {
             values.foreach { v =>
               buf = (buf :+ v).takeRight(size)
               seen += 1
-              // fire on every slide-th element once a full window exists
-              if (seen >= size && (seen - size) % slide == 0) {
+              // CountTrigger(slide): fire on every slide-th element from
+              // the start; early windows are partial (CountEvictor keeps
+              // at most `size`)
+              if (seen % slide == 0) {
                 out += agg(k, buf)
               }
             }

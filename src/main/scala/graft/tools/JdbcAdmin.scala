@@ -113,9 +113,19 @@ class JdbcAdmin(url: String, props: Map[String, String] = Map.empty,
     rs.next(); rs.getLong(1)
   }
 
-  /** Backup via CTAS (unified_mysql.py backup). */
+  /** Backup = empty clone + INSERT..SELECT (unified_mysql.py backup).
+    * The clone statement is dialect-specific: MySQL (the reference's
+    * target engine) has no `WITH NO DATA` but does have
+    * `CREATE TABLE .. LIKE` (which also preserves keys/indexes);
+    * Derby/Postgres/standard engines take the ANSI CTAS form. */
+  private[graft] def backupCloneSql(tableName: String, backupName: String): String =
+    if (url.startsWith("jdbc:mysql") || url.startsWith("jdbc:mariadb"))
+      s"CREATE TABLE $backupName LIKE $tableName"
+    else
+      s"CREATE TABLE $backupName AS SELECT * FROM $tableName WITH NO DATA"
+
   def backupTable(tableName: String, backupName: String): Unit = {
-    execute(s"CREATE TABLE $backupName AS SELECT * FROM $tableName WITH NO DATA")
+    execute(backupCloneSql(tableName, backupName))
     execute(s"INSERT INTO $backupName SELECT * FROM $tableName")
     ()
   }

@@ -87,6 +87,48 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(out.map(_.purchaseOrderId).forall(id => id.startsWith("m") || id.startsWith("t")))
   }
 
+  test("UpdateInsert with only key columns is rejected up front") {
+    val e = intercept[IllegalArgumentException] {
+      JdbcUpsertSink.buildSql("t", Seq("id", "sku"),
+        JdbcUpsertSink.UpdateInsert(Seq("id", "sku")))
+    }
+    assert(e.getMessage.contains("non-key"))
+  }
+
+  test("backupTable emits MySQL LIKE-clone for mysql urls, ANSI CTAS otherwise") {
+    // ANSI path runs live on Derby
+    val admin = new JdbcAdmin(url, maxRetries = 0)
+    admin.execute("CREATE TABLE bk_src (id INT)")
+    admin.execute("INSERT INTO bk_src VALUES (1), (2)")
+    admin.backupTable("bk_src", "bk_dst")
+    assert(admin.countRows("bk_dst") == 2)
+    // MySQL path: LIKE-clone (preserves keys/indexes; MySQL lacks WITH NO DATA)
+    val my = new JdbcAdmin("jdbc:mysql://host/db")
+    assert(my.backupCloneSql("a", "b") == "CREATE TABLE b LIKE a")
+    assert(admin.backupCloneSql("a", "b")
+      == "CREATE TABLE b AS SELECT * FROM a WITH NO DATA")
+  }
+
+  test("env overlay: double underscore addresses sections containing underscores") {
+    val c = GraftConfig.resolve(envPrefix = "GRAFT_",
+      env = Map(
+        "GRAFT_MY_SECTION__KEY" -> "v1",
+        "GRAFT_KAFKA_BOOTSTRAP_SERVERS" -> "b:9092"))
+    assert(c("my_section.key") == "v1")
+    assert(c("kafka.bootstrap_servers") == "b:9092") // single-underscore fallback intact
+  }
+
+  test("rolling_hash SQL registration validates arity") {
+    graft.functions.RollingHash.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT rolling_hash('a', 'b')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("rolling_hash"))
+    // correct arity still works
+    assert(spark.sql("SELECT rolling_hash('ab') AS h").collect()(0).getLong(0) ==
+      graft.functions.RollingHash.hash("ab"))
+  }
+
   test("transport failures consume exactly one retry each") {
     val attempts = new AtomicInteger()
     val api = Api(

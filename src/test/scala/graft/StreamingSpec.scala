@@ -23,13 +23,22 @@ class CountWindowsSpec extends SparkSpec {
     assert(out == Set(("a", 3), ("a", 7), ("b", 30)))
   }
 
-  test("sliding count window emits every slide once window is full") {
+  test("sliding count window fires every slide elements, partials included (Flink parity)") {
     val ds = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5)).toDS()
     val out = CountWindows.sliding[String, (String, Int), (String, Int)](
       ds, _._1, size = 3, slide = 1, (k, vs) => (k, vs.map(_._2).sum))
       .collect().toSet
-    // windows: (1,2,3)=6, (2,3,4)=9, (3,4,5)=12
-    assert(out == Set(("a", 6), ("a", 9), ("a", 12)))
+    // CountTrigger(1)+CountEvictor(3): (1)=1, (1,2)=3, (1,2,3)=6, (2,3,4)=9, (3,4,5)=12
+    assert(out == Set(("a", 1), ("a", 3), ("a", 6), ("a", 9), ("a", 12)))
+  }
+
+  test("sliding count window with slide > 1 fires at every slide boundary") {
+    val ds = Seq.tabulate(6)(i => ("a", i + 1)).toDS() // 1..6
+    val out = CountWindows.sliding[String, (String, Int), (String, Int)](
+      ds, _._1, size = 4, slide = 2, (k, vs) => (k, vs.map(_._2).sum))
+      .collect().toSet
+    // fires at element 2, 4, 6: (1,2)=3, (1,2,3,4)=10, (3,4,5,6)=18
+    assert(out == Set(("a", 3), ("a", 10), ("a", 18)))
   }
 
   test("tumbling count window works over a structured stream with state across batches") {
