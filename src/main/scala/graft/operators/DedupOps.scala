@@ -5,6 +5,18 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
+/** MinHash/LSH configuration. The defaults are the 8-hash/4-band
+  * oracle configuration (kept for the deterministic CORRECTNESS
+  * compare); production recall at 100 TB wants `MinHashParams(128, 16)`
+  * — the banding math (s-curve threshold ≈ (1/b)^(1/r)) and every
+  * operator below take the parameters, the topology is unchanged.
+  */
+final case class MinHashParams(numHashes: Int = 8, numBands: Int = 4) {
+  require(numHashes > 0 && numBands > 0 && numHashes % numBands == 0,
+    s"numBands ($numBands) must divide numHashes ($numHashes)")
+  val rowsPerBand: Int = numHashes / numBands
+}
+
 /** Near-duplicate detection for training-data pipelines: MinHash+LSH,
   * SimHash, and exact n-gram Jaccard verification.
   *
@@ -20,22 +32,93 @@ import graft.Tables
   * production scale swap in xxhash64 for speed; the topology is
   * unchanged.
   *
-  * Caller contract: the pair/verify operators persist() shared
-  * signature subtrees for the lifetime of the returned plan. Loops
-  * issuing many such queries should `spark.catalog.clearCache()`
-  * between them (graft.Verify does), or at 100 TB materialize the
-  * signatures to a staging table instead.
+  * Shared-subtree staging: the pair/verify operators reference the
+  * shingle and signature subtrees several times. They route through a
+  * read-through parquet staging table (one materialization, then a
+  * plain scan with column pruning — exactly what a 100 TB pipeline
+  * does between dedup stages). Controlled by system property
+  * `graft.stage.dir`: unset → `$java.io.tmpdir/graft-stage`; a path →
+  * that root; `off` → no staging, falling back to `persist()` for
+  * within-query sharing (loops issuing many such queries should then
+  * `spark.catalog.clearCache()` between them, as graft.Verify does).
   */
 object DedupOps {
-  // minhash parameters: 8 hashes, 4 bands x 2 rows
+  // minhash parameters: defaults 8 hashes, 4 bands x 2 rows
   private[graft] val P = 4294967311L // prime > 2^32
   private[graft] val A = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
   private[graft] val B = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L)
-  val numHashes: Int = A.length
-  val numBands: Int = 4 // rows per band = 2
+  /** Universal-hash coefficients for any signature width; the first 8
+    * are the round-1 oracle constants, the extension keeps a_i odd and
+    * strictly increasing (distinct for all i). */
+  private[graft] def coeffA(i: Int): Long = if (i < A.length) A(i) else 6L * i + 5L
+  private[graft] def coeffB(i: Int): Long = if (i < B.length) B(i) else 2L * i + 1L
+
+  val defaultParams: MinHashParams = MinHashParams()
+  /** Production-recall preset: 128 hashes / 16 bands of 8 rows →
+    * s-curve threshold ≈ (1/16)^(1/8) ≈ 0.71 with a sharp cutoff. */
+  val scaleParams: MinHashParams = MinHashParams(128, 16)
+
+  val numHashes: Int = defaultParams.numHashes
+  val numBands: Int = defaultParams.numBands
   val estThreshold = 0.5
   val jaccardThreshold = 0.5
   val hammingThreshold = 10
+
+  // ---------------------------------------------------------------- staging
+
+  /** Bump when shingle/signature semantics change — keys the staging
+    * directory so stale rounds can never be read back. */
+  private val stageVersion = "v1"
+
+  private def stagingRoot: Option[String] =
+    sys.props.get("graft.stage.dir") match {
+      case Some("off") | Some("") => None
+      case Some(dir)              => Some(dir)
+      case None => Some(System.getProperty("java.io.tmpdir") + "/graft-stage")
+    }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def tableDir(root: String, sfDir: String, table: String): String = {
+    val key = md5Hex(new java.io.File(sfDir).getCanonicalPath).take(12)
+    s"$root/$stageVersion/$key/$table"
+  }
+
+  /** Read-through materialization: first caller computes + writes the
+    * parquet staging table, everyone after scans it. */
+  private def staged(spark: SparkSession, sfDir: String, table: String)
+                    (compute: => DataFrame): DataFrame =
+    stagingRoot match {
+      case None => compute
+      case Some(root) =>
+        val dir = tableDir(root, sfDir, table)
+        this.synchronized {
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+            compute.write.mode("overwrite").parquet(dir)
+        }
+        spark.read.parquet(dir)
+    }
+
+  /** Force-materialize the staged dedup tables (shingles + minhash
+    * signatures + simhash) for `sfDir`; returns the staging paths (or
+    * Nil when staging is off). Bench calls this up front so staging
+    * cost is attributed separately from query cost. */
+  def stageSignatures(spark: SparkSession, sfDir: String,
+                      p: MinHashParams = defaultParams): Seq[String] =
+    stagingRoot match {
+      case None => Nil
+      case Some(root) =>
+        // each table call writes its parquet if absent (read-through)
+        shingleTable(spark, sfDir)
+        sigTable(spark, sfDir, p)
+        simhashTable(spark, sfDir)
+        Seq("shingles", s"sig_h${p.numHashes}", "simhash")
+          .map(tableDir(root, sfDir, _))
+    }
+
+  // ------------------------------------------------------------- shingling
 
   /** Distinct word-bigram shingles over a PRE-MATERIALIZED token
     * array; guards single-token docs. Tokenizing once into a column
@@ -46,31 +129,47 @@ object DedupOps {
       |else array_distinct(transform(sequence(1, size(toks) - 1),
       |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) end""".stripMargin
 
-  /** One row per (doc_id, distinct shingle) with its 32-bit hash. */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+  /** One row per (doc_id, distinct shingle) with both hash widths:
+    * `h` (32-bit, minhash) and `h60` (60-bit, simhash) — a single
+    * staged table serves every downstream dedup stage. */
+  private def computeShingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
       .selectExpr("doc_id", s"explode($bigramsE) as s")
-
-  private def shingleHashes(spark: SparkSession, sfDir: String): DataFrame =
-    shingles(spark, sfDir)
       .withColumn("h", expr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"))
+      .withColumn("h60", expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"))
 
-  /** Unordered signature base — shared by the LSH/verify stages. */
-  private def signatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val aggs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
-      min(expr(s"($a * h + $b) % $P")).as(s"mh$i")
+  private def shingleTable(spark: SparkSession, sfDir: String): DataFrame =
+    staged(spark, sfDir, "shingles")(computeShingles(spark, sfDir))
+
+  // ------------------------------------------------------------ signatures
+
+  private def signaturesFrom(sh: DataFrame, p: MinHashParams): DataFrame = {
+    val aggs = (0 until p.numHashes).map { i =>
+      min(expr(s"(${coeffA(i)} * h + ${coeffB(i)}) % $P")).as(s"mh$i")
     }
-    shingleHashes(spark, sfDir)
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Signature table, staged (or persist()ed when staging is off). */
+  private def sigTable(spark: SparkSession, sfDir: String, p: MinHashParams): DataFrame =
+    stagingRoot match {
+      case None =>
+        signaturesFrom(computeShingles(spark, sfDir), p)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ =>
+        staged(spark, sfDir, s"sig_h${p.numHashes}")(
+          signaturesFrom(shingleTable(spark, sfDir), p))
+    }
 
   /** MinHash signatures: mh_i = min over shingles of (a_i*h + b_i) % P.
     * One hash-aggregate — map-side partial min, shuffle carries one
     * row per doc. */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    signatures(spark, sfDir).orderBy("doc_id")
+    minhashSignatures(spark, sfDir, defaultParams)
+
+  def minhashSignatures(spark: SparkSession, sfDir: String, p: MinHashParams): DataFrame =
+    sigTable(spark, sfDir, p).orderBy("doc_id")
 
   // shared oracle CTE prefix: documents -> distinct shingle hashes -> signatures
   private val duckToks = "string_split(text, ' ')"
@@ -79,8 +178,8 @@ object DedupOps {
        |ELSE list_distinct(list_transform(generate_series(1, len($duckToks) - 1),
        |  i -> $duckToks[i] || ' ' || $duckToks[i + 1])) END""".stripMargin
   private val duckSigCte: String = {
-    val mins = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
-      s"min(($a * h + $b) % $P) AS mh$i"
+    val mins = (0 until numHashes).map { i =>
+      s"min((${coeffA(i)} * h + ${coeffB(i)}) % $P) AS mh$i"
     }.mkString(", ")
     s"""WITH bg AS (
        |  SELECT doc_id, unnest($duckBigrams) AS s FROM documents),
@@ -95,21 +194,21 @@ object DedupOps {
     s"$duckSigCte\nSELECT doc_id, $cols FROM sig ORDER BY doc_id"
   }
 
-  /** LSH banding: band key b = concat(b, mh_{2b}, mh_{2b+1});
+  // ----------------------------------------------------------- LSH banding
+
+  /** LSH banding: band key = concat(b, mh_{b*r} .. mh_{b*r+r-1});
     * candidate pairs share at least one band; est_jaccard = fraction
     * of equal minhashes, thresholded. */
-  def lshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    // materialize signatures once: the self-join + match-count below
-    // reference this subtree four times (at 100 TB this would be a
-    // parquet staging table; in-memory here, same topology)
-    val sig = signatures(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lshCandidatesFrom(sig)
-  }
+  def lshCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    lshCandidates(spark, sfDir, defaultParams)
 
-  private def lshCandidatesFrom(sig: DataFrame): DataFrame = {
-    val bandCols = (0 until numBands).map { b =>
-      concat_ws("_", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+  def lshCandidates(spark: SparkSession, sfDir: String, p: MinHashParams): DataFrame =
+    lshCandidatesFrom(sigTable(spark, sfDir, p), p)
+
+  private def lshCandidatesFrom(sig: DataFrame, p: MinHashParams): DataFrame = {
+    val bandCols = (0 until p.numBands).map { b =>
+      val mhs = (b * p.rowsPerBand until (b + 1) * p.rowsPerBand).map(i => col(s"mh$i"))
+      concat_ws("_", (lit(b) +: mhs): _*)
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
     val cand = bands.as("x").join(bands.as("y"),
@@ -118,21 +217,24 @@ object DedupOps {
       .distinct()
     val sa = sig.columns.filter(_ != "doc_id").foldLeft(sig)((d, c) => d.withColumnRenamed(c, c + "_a"))
     val sb = sig.columns.filter(_ != "doc_id").foldLeft(sig)((d, c) => d.withColumnRenamed(c, c + "_b"))
-    val matches = (0 until numHashes)
+    val matches = (0 until p.numHashes)
       .map(i => when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1).otherwise(0))
       .reduce(_ + _)
     cand
       .join(sa.withColumnRenamed("doc_id", "doc_a"), "doc_a")
       .join(sb.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-      .withColumn("est_jaccard", matches.cast("double") / numHashes)
+      .withColumn("est_jaccard", matches.cast("double") / p.numHashes)
       .where(col("est_jaccard") >= estThreshold)
       .select("doc_a", "doc_b", "est_jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
   private val duckBandsCte: String = {
-    val bands = (0 until numBands).map { b =>
-      s"SELECT doc_id, concat($b, '_', mh${2 * b}, '_', mh${2 * b + 1}) AS bk FROM sig"
+    val p = defaultParams
+    val bands = (0 until p.numBands).map { b =>
+      val mhs = (b * p.rowsPerBand until (b + 1) * p.rowsPerBand)
+        .map(i => s", '_', mh$i").mkString
+      s"SELECT doc_id, concat($b$mhs) AS bk FROM sig"
     }.mkString(" UNION ALL ")
     val matches = (0 until numHashes)
       .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
@@ -159,14 +261,20 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------------------------- exact Jaccard
+
   /** Exact n-gram Jaccard verification over the LSH candidate pairs —
     * the bounded second stage; never touches non-candidate pairs. */
-  def jaccardVerify(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = signatures(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidatesFrom(sig).select("doc_a", "doc_b")
-    val bg = shingles(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def jaccardVerify(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardVerify(spark, sfDir, defaultParams)
+
+  def jaccardVerify(spark: SparkSession, sfDir: String, p: MinHashParams): DataFrame = {
+    val cand = lshCandidates(spark, sfDir, p).select("doc_a", "doc_b")
+    val bg = stagingRoot match {
+      case None => computeShingles(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ => shingleTable(spark, sfDir)
+    }
     val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(bg.as("x"), col("x.doc_id") === col("doc_a"))
@@ -196,6 +304,8 @@ object DedupOps {
        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= $jaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------- keep-list
 
   /** End-to-end dedup keep-list: drop exact duplicates (keep the
     * minimum doc_id per identical text) and near-duplicates (for each
@@ -239,28 +349,36 @@ object DedupOps {
        |  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- simhash
+
   /** SimHash: 60-bit signature; bit j is the sign of the sum over
     * shingles of ±1 depending on bit j of the shingle hash. Computed
     * as 60 conditional-sum aggregates — no row explosion, single
     * shuffle on doc_id. */
-  private def simhashBase(spark: SparkSession, sfDir: String): DataFrame = {
-    val h60 = shingles(spark, sfDir)
-      .withColumn("h", expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"))
+  private def simhashFrom(sh: DataFrame): DataFrame = {
     val bitSums = (0 until 60).map { j =>
       // branch-free ±1: (bit*2 - 1); ~25% faster than a CASE per bit
-      sum(expr(s"(shiftright(h, $j) & 1) * 2 - 1")).as(s"s$j")
+      sum(expr(s"(shiftright(h60, $j) & 1) * 2 - 1")).as(s"s$j")
     }
     val simExpr = (0 until 60)
       .map(j => s"(case when s$j > 0 then ${1L << j}L else 0L end)")
       .mkString(" + ")
-    h60.groupBy("doc_id")
+    sh.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash", expr(simExpr))
       .select("doc_id", "simhash")
   }
 
+  /** Simhash table, staged (or recomputed when staging is off). */
+  private def simhashTable(spark: SparkSession, sfDir: String): DataFrame =
+    stagingRoot match {
+      case None => simhashFrom(computeShingles(spark, sfDir))
+      case _ => staged(spark, sfDir, "simhash")(
+        simhashFrom(shingleTable(spark, sfDir)))
+    }
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
-    simhashBase(spark, sfDir).orderBy("doc_id")
+    simhashTable(spark, sfDir).orderBy("doc_id")
 
   val simhashSql: String = {
     val bitSums = (0 until 60).map { j =>
@@ -281,8 +399,11 @@ object DedupOps {
     * pairs in the same band bucket are checked by Hamming distance.
     * Same LSH-style scale bound: no O(n²) comparison. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = simhashBase(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = stagingRoot match {
+      case None => simhashFrom(computeShingles(spark, sfDir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ => simhashTable(spark, sfDir)
+    }
     val bandCols = (0 until 4).map { b =>
       concat_ws("_", lit(b), expr(s"shiftright(simhash, ${15 * b}) & 32767"))
     }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -76,17 +76,24 @@ object EmbeddingOps {
     s"(CASE WHEN (($d * 13 + $p * 7) % 5) < 2 THEN 1.0 ELSE -1.0 END)"
 
   /** Sign-LSH bucket id per vector: bit p = sign of the projection on
-    * pseudo-random plane p. */
+    * pseudo-random plane p. `planes` is the recall/bucket-size knob —
+    * 8 (the oracle default) gives 256 buckets; production tuning
+    * raises it (or unions several independent plane sets) to keep
+    * per-bucket candidate lists small at corpus scale. */
   def lshBuckets(spark: SparkSession, sfDir: String): DataFrame =
     lshBucketsFrom(vectors(spark, sfDir)).orderBy("vec_id")
 
-  private def lshBucketsFrom(vecs: DataFrame): DataFrame = {
-    val withProj = (0 until numPlanes).foldLeft(vecs) { (df, p) =>
+  def lshBuckets(spark: SparkSession, sfDir: String, planes: Int): DataFrame =
+    lshBucketsFrom(vectors(spark, sfDir), planes).orderBy("vec_id")
+
+  private def lshBucketsFrom(vecs: DataFrame, planes: Int = numPlanes): DataFrame = {
+    require(planes > 0 && planes < 31, s"planes must be in [1, 30], got $planes")
+    val withProj = (0 until planes).foldLeft(vecs) { (df, p) =>
       df.withColumn(s"proj$p", expr(
         s"aggregate(sequence(0, ${dim - 1}), cast(0 as double), " +
           s"(s, d) -> s + ${planeSign(p, "d")} * element_at(v, d + 1))"))
     }
-    val bucketExpr = (0 until numPlanes)
+    val bucketExpr = (0 until planes)
       .map(p => s"(case when proj$p > 0 then ${1 << p} else 0 end)")
       .mkString(" + ")
     withProj.withColumn("bucket", expr(bucketExpr))
@@ -151,36 +158,111 @@ object EmbeddingOps {
        |SELECT query_id, rank, vec_id, cos FROM ranked
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  /** IVF-style ANN: coarse quantization with deterministic centroids
-    * (the first `numCentroids` vectors stand in for k-means output —
-    * at production scale you'd train real centroids; the topology is
-    * identical). Every vector is assigned to its nearest centroid
-    * (one broadcast + narrow map over the corpus); a query searches
-    * only its own centroid's inverted list — the classic IVF nprobe=1
-    * trade-off of recall for a corpus-fraction scan. */
+  /** IVF ANN: coarse quantization with REAL k-means centroids.
+    *
+    * Training is the standard distributed k-means loop (the MLlib
+    * shape): seeds are a deterministic sample — the k vectors with the
+    * smallest `md5(vec_id)`, an order-stable stand-in for a uniform
+    * draw — and each iteration (1) assigns every vector to its nearest
+    * centroid in one NARROW map over the corpus (the centroids travel
+    * to the executors as literals folded into codegen, so there is no
+    * join and no shuffle), then (2) recomputes each centroid as the
+    * element-wise mean of its members via a tiny two-phase aggregate
+    * whose shuffle moves only k×dim rows. Element sums go through
+    * exact decimals, so the means are partition-order-invariant and
+    * the DuckDB oracle — the same iterations unrolled as CTEs —
+    * reproduces every centroid coordinate bit-for-bit.
+    *
+    * Lookup: a query probes the inverted lists of its `nprobe` nearest
+    * centroids (nprobe=1 is the oracle configuration; raising it
+    * trades scan fraction for recall, the classic IVF knob).
+    */
   val numCentroids = 8
+  val kmeansIters = 2
 
-  private def ivfAssignments(vs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = vs.where(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val scored = vs.crossJoin(broadcast(cents))
-      .withColumn("csim", round(expr(dotE("cv", "v")) / (col("cn") * col("nrm")), 6))
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-    scored.withColumn("crank", row_number().over(w))
-      .where(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+  /** Sequential-fold dot product of a driver-side centroid with the
+    * vector column — a pure per-row expression, bit-identical to the
+    * oracle's list_dot_product over the same values. */
+  private def dotLit(cv: Array[Double], v: Column): Column =
+    aggregate(zip_with(lit(cv), v, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  /** (rounded cosine, -cent_id) score structs vs every centroid; the
+    * lexicographic max is "highest similarity, ties to lower id". */
+  private def centScores(cents: Seq[(Int, Array[Double])]): Seq[Column] =
+    cents.map { case (cid, cv) =>
+      val cn = math.sqrt(cv.foldLeft(0.0)((s, x) => s + x * x))
+      struct(
+        round(dotLit(cv, col("v")) / (lit(cn) * col("nrm")), 6).as("s"),
+        lit(-cid).as("nc"))
+    }
+
+  /** Nearest-centroid id as a zero-shuffle per-row argmax (the round-1
+    * row_number()/Window formulation shuffled the corpus on vec_id). */
+  private def nearestCentroid(cents: Seq[(Int, Array[Double])]): Column =
+    array_max(array(centScores(cents): _*)).getField("nc") * -1
+
+  /** The query-side probe list: ids of the `nprobe` nearest centroids. */
+  private def probeCentroids(cents: Seq[(Int, Array[Double])], nprobe: Int): Column =
+    transform(
+      slice(reverse(array_sort(array(centScores(cents): _*))), 1, nprobe),
+      s => s.getField("nc") * -1)
+
+  /** One k-means update: element-wise member means per centroid.
+    * Exact decimal sums make the result independent of partitioning;
+    * empty clusters drop (both engines drop them identically). */
+  private def updateCentroids(assigned: DataFrame): Seq[(Int, Array[Double])] = {
+    val rows = assigned
+      .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cent_id", "pos")
+      .agg((sum(col("x").cast("decimal(27,12)")).cast("double") / count(lit(1))).as("m"))
+      .collect()
+    rows.groupBy(_.getAs[Int]("cent_id")).map { case (cid, rs) =>
+      val arr = new Array[Double](dim)
+      rs.foreach(r => arr(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
+      (cid, arr)
+    }.toSeq.sortBy(_._1)
   }
 
-  /** IVF ANN: top-3 neighbors per query among vectors sharing the
-    * query's nearest centroid. */
-  def ivfAnn(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val assigned = ivfAssignments(vectors(spark, sfDir))
+  private def seedCentroids(vs: DataFrame, k: Int): Seq[(Int, Array[Double])] =
+    vs.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select("v").collect()
+      .toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+
+  /** Train coarse centroids: deterministic sampled seeds + `iters`
+    * Lloyd iterations. Each iteration is one narrow assignment map and
+    * one k×dim-row aggregate — the textbook distributed k-means cost. */
+  def kmeansCentroids(spark: SparkSession, sfDir: String,
+                      k: Int = numCentroids,
+                      iters: Int = kmeansIters): Seq[(Int, Array[Double])] = {
+    val vs = vectors(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = seedCentroids(vs, k)
+    for (_ <- 1 to iters)
+      cents = updateCentroids(vs.withColumn("cent_id", nearestCentroid(cents)))
+    cents
+  }
+
+  /** Corpus → (vec_id, v, nrm, cent_id) with the trained centroids;
+    * pure narrow map, no Exchange anywhere in the plan. */
+  def ivfAssign(spark: SparkSession, sfDir: String,
+                cents: Seq[(Int, Array[Double])]): DataFrame =
+    vectors(spark, sfDir).withColumn("cent_id", nearestCentroid(cents))
+
+  /** IVF ANN: top-3 neighbors per query among vectors in the query's
+    * `nprobe` nearest inverted lists. */
+  def ivfAnn(spark: SparkSession, sfDir: String): DataFrame =
+    ivfAnn(spark, sfDir, numCentroids, kmeansIters, nprobe = 1)
+
+  def ivfAnn(spark: SparkSession, sfDir: String,
+             k: Int, iters: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = kmeansCentroids(spark, sfDir, k, iters)
+    val assigned = ivfAssign(spark, sfDir, cents)
     val qs = assigned.where(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cent_id").as("qcent"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(probeCentroids(cents, nprobe)).as("qcent"))
     val sims = assigned.join(broadcast(qs),
         col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(expr(dotE("qv", "v")) / (col("qn") * col("nrm")), 6))
@@ -191,29 +273,49 @@ object EmbeddingOps {
       .orderBy("query_id", "rank")
   }
 
-  val ivfAnnSql: String =
+  /** Oracle: the same seeds + Lloyd iterations unrolled as CTEs. */
+  val ivfAnnSql: String = {
+    def assignCte(name: String, centsCte: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, v, nrm, cent_id FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(list_dot_product(c.cv, n.v) / (c.cn * n.nrm), 6) DESC,
+         |                 c.cent_id) AS rn
+         |    FROM n CROSS JOIN $centsCte c) t WHERE rn = 1)""".stripMargin
+    def updateCte(mName: String, cName: String, aName: String): String =
+      s"""$mName AS (
+         |  SELECT cent_id, p.pos,
+         |    CAST(sum(CAST(v[p.pos] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
+         |  FROM $aName, (SELECT unnest(generate_series(1, $dim)) AS pos) p
+         |  GROUP BY cent_id, p.pos),
+         |$cName AS (
+         |  SELECT cent_id, list(m ORDER BY pos) AS cv,
+         |    sqrt(list_dot_product(list(m ORDER BY pos), list(m ORDER BY pos))) AS cn
+         |  FROM $mName GROUP BY cent_id)""".stripMargin
+    val iterCtes = (0 until kmeansIters).map { i =>
+      assignCte(s"a$i", s"c$i") + ",\n" + updateCte(s"m$i", s"c${i + 1}", s"a$i")
+    }.mkString(",\n")
     s"""$duckVecCte,
-       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $numCentroids),
-       |scored AS (
-       |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
-       |    round(list_dot_product(c.cv, n.v) / (c.cn * n.nrm), 6) AS csim
-       |  FROM n CROSS JOIN cents c),
-       |assigned AS (
-       |  SELECT vec_id, v, nrm, cent_id FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank
-       |    FROM scored) t WHERE crank = 1),
+       |seed AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cent_id, v
+       |  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $numCentroids),
+       |c0 AS (SELECT cent_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn FROM seed),
+       |$iterCtes,
+       |${assignCte("af", s"c$kmeansIters")},
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS qcent
-       |      FROM assigned WHERE vec_id < $numQueries),
+       |      FROM af WHERE vec_id < $numQueries),
        |sims AS (
        |  SELECT q.query_id, a.vec_id,
        |    round(list_dot_product(q.qv, a.v) / (q.qn * a.nrm), 6) AS cos
-       |  FROM assigned a JOIN q ON a.cent_id = q.qcent AND a.vec_id <> q.query_id),
+       |  FROM af a JOIN q ON a.cent_id = q.qcent AND a.vec_id <> q.query_id),
        |ranked AS (
        |  SELECT query_id, vec_id, cos,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
        |  FROM sims)
        |SELECT query_id, rank, vec_id, cos FROM ranked
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Embedding near-duplicate pairs: cosine above threshold, searched
     * within LSH buckets only (bounded candidate set at scale). */
