@@ -36,6 +36,25 @@ object WalmartOrderPipeline {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .start()
 
+  /** Streaming over the file-backed Kafka harness
+    * (graft.sources.FileKafka) — identical topology to [[fromKafka]]:
+    * envelope → value string → parse → upsert, with offset seek and
+    * per-trigger admission. Swap in fromKafka unchanged once a broker
+    * and the kafka connector are present. */
+  def fromFileKafka(spark: SparkSession, dir: String, topic: String,
+                    sink: JdbcUpsertSink, checkpointDir: String,
+                    startingOffsets: String = "earliest",
+                    maxOffsetsPerTrigger: Option[Long] = None,
+                    triggerMs: Long = 1000L): StreamingQuery =
+    graft.sources.FileKafka.stream(spark, dir, topic, startingOffsets, maxOffsetsPerTrigger)
+      .selectExpr("CAST(value AS STRING) AS value")
+      .transform(parse(_))
+      .writeStream
+      .foreachBatch(sink.asForeachBatch)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .start()
+
   /** Streaming from any source that exposes a `value` JSON string
     * column (tests use MemoryStream). */
   def fromStream(raw: DataFrame, sink: JdbcUpsertSink, checkpointDir: String,
