@@ -46,6 +46,40 @@ object StreamOps {
        |GROUP BY ${if (keys.isEmpty) "" else keys.mkString(", ") + ","} window(`$tsCol`, '$size')""".stripMargin
   }
 
+  /** A5/W8: generated SQL for a sliding-window (HOP) aggregate —
+    * parity with the reference's HOP generator
+    * (utils/flink_window_utils.py:516-564). Flink's
+    * HOP(ts, slide, size) ≡ Spark `window(ts, size, slide)`;
+    * HOP_START/HOP_END ≡ window.start / window.end. */
+  def hopSql(table: String, tsCol: String, size: String, slide: String,
+             keys: Seq[String] = Nil,
+             aggSelects: Seq[String] = Seq("COUNT(*) AS cnt")): String = {
+    val keyList = if (keys.isEmpty) "" else keys.mkString(", ") + ","
+    val win = s"window(`$tsCol`, '$size', '$slide')"
+    s"""SELECT $keyList ${aggSelects.mkString(", ")},
+       |  $win.start AS window_start,
+       |  $win.end AS window_end
+       |FROM $table
+       |GROUP BY ${if (keys.isEmpty) "" else keys.mkString(", ") + ","} $win""".stripMargin
+  }
+
+  /** A5/W8: generated SQL for a session-window aggregate — parity with
+    * the reference's SESSION generator
+    * (utils/flink_window_utils.py:566-611). SESSION(ts, gap) ≡ Spark
+    * `session_window(ts, gap)`; SESSION_START/SESSION_END ≡
+    * session_window.start / session_window.end. */
+  def sessionSql(table: String, tsCol: String, gap: String,
+                 keys: Seq[String] = Nil,
+                 aggSelects: Seq[String] = Seq("COUNT(*) AS cnt")): String = {
+    val keyList = if (keys.isEmpty) "" else keys.mkString(", ") + ","
+    val win = s"session_window(`$tsCol`, '$gap')"
+    s"""SELECT $keyList ${aggSelects.mkString(", ")},
+       |  $win.start AS window_start,
+       |  $win.end AS window_end
+       |FROM $table
+       |GROUP BY ${if (keys.isEmpty) "" else keys.mkString(", ") + ","} $win""".stripMargin
+  }
+
   /** JN1: stream-stream window equi-join — pairs records with equal
     * keys in the same tumbling window, the reference's join semantics
     * (utils/flink_transform_utils.py:377-428): bucketized time
@@ -55,12 +89,17 @@ object StreamOps {
                  leftKey: Column, rightKey: Column,
                  leftTs: Column, rightTs: Column,
                  windowSize: String = "60 seconds"): DataFrame = {
-    // window() must be materialized as a column before it can appear
-    // in a join condition; struct equality then buckets both sides
-    val lw = left.withColumn("__wl", window(leftTs, windowSize))
-    val rw = right.withColumn("__wr", window(rightTs, windowSize))
+    // window() must be materialized as a column before it can appear in
+    // a join condition; struct equality then buckets both sides. The
+    // raw ts columns are dropped pre-join: under watermarks the window
+    // inherits the event-time tag, and Structured Streaming allows only
+    // ONE event-time column per input — keeping both breaks the
+    // streaming plan. The bucket window is returned as `window`.
+    val lw = left.withColumn("__wl", window(leftTs, windowSize)).drop(leftTs)
+    val rw = right.withColumn("__wr", window(rightTs, windowSize)).drop(rightTs)
     lw.join(rw, leftKey === rightKey && col("__wl") === col("__wr"), "inner")
-      .drop("__wl", "__wr")
+      .withColumnRenamed("__wl", "window")
+      .drop("__wr")
   }
 
   /** JN2: lookup (dimension) join — stream enriched against a batch

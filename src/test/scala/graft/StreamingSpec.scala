@@ -80,6 +80,70 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.count() == 3) // left join keeps unmatched
     assert(out.where(col("tier").isNull).count() == 1)
   }
+
+  private val aggSelects = Seq("COUNT(*) AS event_count",
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value")
+
+  test("generated HOP SQL reproduces the q09 sliding-window results") {
+    Tables.load(spark, sf, "events").createOrReplaceTempView("events_hop")
+    val sql = StreamOps.hopSql("events_hop", "ts", "2 hours", "1 hour",
+      keys = Nil, aggSelects = aggSelects)
+    val got = spark.sql(sql)
+      .select("window_start", "window_end", "event_count", "total_value")
+      .orderBy("window_start").collect().toSeq
+    val want = graft.operators.WindowOps.sliding(spark, sf)
+      .select("window_start", "window_end", "event_count", "total_value")
+      .orderBy("window_start").collect().toSeq
+    assert(got == want)
+  }
+
+  test("generated SESSION SQL reproduces the q10 session-window results") {
+    Tables.load(spark, sf, "events").createOrReplaceTempView("events_sess")
+    val sql = StreamOps.sessionSql("events_sess", "ts", "30 minutes",
+      keys = Seq("user_id"), aggSelects = aggSelects)
+    val got = spark.sql(sql)
+      .selectExpr("window_start AS session_start", "window_end AS session_end",
+        "user_id", "event_count", "total_value")
+      .orderBy("user_id", "session_start").collect().toSeq
+    val want = graft.operators.WindowOps.session(spark, sf)
+      .select("session_start", "session_end", "user_id", "event_count", "total_value")
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(got == want)
+  }
+
+  test("streaming stream-stream window join: watermarked inputs join within windows and state is cleaned") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(String, String)]
+    val rMem = MemoryStream[(String, String)]
+    val l = lMem.toDF().toDF("k", "lts")
+      .withColumn("lts", to_timestamp(col("lts"))).withWatermark("lts", "1 minute")
+    val r = rMem.toDF().toDF("k2", "rts")
+      .withColumn("rts", to_timestamp(col("rts"))).withWatermark("rts", "1 minute")
+    val joined = StreamOps.windowJoin(l, r, col("k"), col("k2"),
+      col("lts"), col("rts"), "60 seconds")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      // window [00:00, 00:01): k1 matches; k2 has no right-side partner
+      lMem.addData(("k1", "2024-01-01 00:00:10"), ("k2", "2024-01-01 00:00:20"))
+      rMem.addData(("k1", "2024-01-01 00:00:50"))
+      q.processAllAvailable()
+      assert(spark.table("ssj_out").count() == 1)
+      val peak = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(peak >= 3, s"expected all 3 first-window rows buffered, got $peak")
+      // different window -> no join even with equal keys; advancing the
+      // watermark past [00:00, 00:01) + delay must evict its state
+      lMem.addData(("k1", "2024-01-01 00:05:10"))
+      rMem.addData(("k1", "2024-01-01 00:06:20"))
+      q.processAllAvailable()
+      assert(spark.table("ssj_out").count() == 1)
+      val after = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(after < peak,
+        s"watermark advance must evict join state (peak=$peak, after=$after)")
+      // the still-open 00:05/00:06 windows remain buffered
+      assert(after >= 2, s"open-window rows must stay buffered, got $after")
+    } finally q.stop()
+  }
 }
 
 class WalmartPipelineSpec extends SparkSpec {
