@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -60,38 +60,17 @@ object Multimodal {
         when(col("media_kind") =!= "image", col("h32") % 600000).as("duration_ms")))
       .drop("h32")
 
-  /** Feature extraction over binary payloads in per-partition batches
-    * — the mapInPandas-style plumbing, Scala-native: one iterator pass
-    * per partition, fixed-dim Float vector per row.
-    *
-    * STUB decode: a 16-bin byte histogram normalized to unit L1 —
-    * deterministic, shape-correct. Replace the inner function with a
-    * real decoder to productionize. */
+  /** Feature extraction over binary payloads — the stub "decoder" as a
+    * native Catalyst expression ([[ByteHistogram]]): an L1-normalized
+    * `dim`-bin byte histogram per row, deterministic and
+    * shape-correct. Runs inside whole-stage codegen as a plain
+    * projection (the round-1 `df.rdd.mapPartitions` version exited the
+    * SQL engine and lost codegen + column pruning). A real decoder
+    * replaces the expression — or drops to typed
+    * `Dataset.mapPartitions` if it needs batched native calls. */
   def fakeDecodeFeatures(df: DataFrame, contentCol: String = "content",
-                         dim: Int = 16): DataFrame = {
-    val schema = StructType(df.schema.fields :+
-      StructField("features", ArrayType(FloatType), nullable = true))
-    val idx = df.schema.fieldIndex(contentCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
-        val feats: Array[Float] =
-          if (bytes == null) null
-          else {
-            val hist = new Array[Float](dim)
-            var i = 0
-            while (i < bytes.length) {
-              hist((bytes(i) & 0xff) * dim / 256) += 1f
-              i += 1
-            }
-            val total = math.max(1f, bytes.length.toFloat)
-            hist.map(_ / total)
-          }
-        Row.fromSeq(r.toSeq :+ (if (feats == null) null else feats.toSeq))
-      }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+                         dim: Int = 16): DataFrame =
+    df.withColumn("features", ByteHistogram.byte_histogram(col(contentCol), dim))
 
   /** The oracle-checked metadata query: binary payload stats per doc. */
   def mediaMetaQuery(spark: SparkSession, sfDir: String): DataFrame =

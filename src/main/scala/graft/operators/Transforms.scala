@@ -34,6 +34,14 @@ object Transforms {
     * the shuffle of whatever aggregation follows). */
   def keyBy[T, K: Encoder](ds: Dataset[T], key: T => K) = ds.groupByKey(key)
 
+  /** A6 keyed reduce — Flink's keyed `reduce()` (the running-fold
+    * semantics collapse to the final fold per key in bounded mode):
+    * groupByKey + reduceGroups, a partial-aggregating shuffle of one
+    * row per key. */
+  def reduceByKey[T, K: Encoder](ds: Dataset[T], key: T => K,
+                                 reduce: (T, T) => T): Dataset[(K, T)] =
+    ds.groupByKey(key).reduceGroups(reduce)
+
   /** T5 filter_null_values — drop rows where any (or the listed)
     * columns are null (utils/flink_transform_utils.py:202-227). */
   def dropNulls(df: DataFrame, cols: Seq[String] = Nil): DataFrame =

@@ -32,6 +32,22 @@ class MultimodalSpec extends SparkSpec {
     val again = row2.getSeq[Float](row2.fieldIndex("features")).toList
     assert(v == again)
   }
+
+  test("feature extraction stays inside the SQL engine (no RDD boundary)") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val plan = Multimodal.fakeDecodeFeatures(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"),
+      s"decode must not exit to RDDs:\n$plan")
+    assert(plan.contains("byte_histogram"), s"expected the native expression:\n$plan")
+    // null content -> null features (expression null semantics)
+    import spark.implicits._
+    val withNull = Seq((1L, "x".getBytes), (2L, null: Array[Byte]))
+      .toDF("media_id", "content")
+    val out = Multimodal.fakeDecodeFeatures(withNull).orderBy("media_id").collect()
+    assert(out(0).getSeq[Float](out(0).fieldIndex("features")).nonEmpty)
+    assert(out(1).isNullAt(out(1).fieldIndex("features")))
+  }
 }
 
 class JdbcAdminSpec extends SparkSpec {

@@ -219,6 +219,17 @@ class TransformsSpec extends SparkSpec {
     assert(out.where(col("raw_data").isNotNull).count() == 1)
   }
 
+  test("keyed reduce folds all elements per key (A6)") {
+    val ds = Seq(("a", 1), ("a", 5), ("b", 2), ("a", 3)).toDS()
+    val out = Transforms.reduceByKey[(String, Int), String](
+      ds, _._1, (x, y) => if (x._2 >= y._2) x else y).collect().toSet
+    assert(out == Set(("a", ("a", 5)), ("b", ("b", 2))))
+    // associative fold: sum variant
+    val sums = Transforms.reduceByKey[(String, Int), String](
+      ds, _._1, (x, y) => (x._1, x._2 + y._2)).collect().toSet
+    assert(sums == Set(("a", ("a", 9)), ("b", ("b", 2))))
+  }
+
   test("dropNulls and validate filter as the reference wrappers do") {
     val df = Seq((Some(1), Some("a")), (None, Some("b")), (Some(3), None))
       .toDF("id", "name")
