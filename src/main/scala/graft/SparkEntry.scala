@@ -84,8 +84,13 @@ object SparkEntry {
     "q31_window_join" -> WindowOps.windowJoinQuery _,
     // dedup pipeline end-to-end: surviving corpus after exact+near dedup
     "q32_dedup_keep_list" -> DedupOps.dedupKeepList _,
-    // similarity: IVF-style ANN (coarse centroids + inverted lists)
-    "q33_ivf_ann" -> EmbeddingOps.ivfAnn _,
+    // similarity: IVF-style ANN (k-means coarse centroids + inverted lists)
+    "q33_ivf_ann" -> ((s, d) => EmbeddingOps.ivfAnn(s, d)),
+    // §2.6 A8: stage-2 statistics over the production stats functions
+    "q34_stats_minute" -> graft.pipelines.WalmartOrderPipeline.statsMinuteQuery _,
+    "q35_stats_user" -> graft.pipelines.WalmartOrderPipeline.statsUserQuery _,
+    "q36_stats_item" -> graft.pipelines.WalmartOrderPipeline.statsItemQuery _,
+    "q37_stats_status" -> graft.pipelines.WalmartOrderPipeline.statsStatusQuery _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -124,5 +129,9 @@ object SparkEntry {
     "q31_window_join" -> WindowOps.windowJoinQuerySql,
     "q32_dedup_keep_list" -> DedupOps.dedupKeepListSql,
     "q33_ivf_ann" -> EmbeddingOps.ivfAnnSql,
+    "q34_stats_minute" -> graft.pipelines.WalmartOrderPipeline.statsMinuteQuerySql,
+    "q35_stats_user" -> graft.pipelines.WalmartOrderPipeline.statsUserQuerySql,
+    "q36_stats_item" -> graft.pipelines.WalmartOrderPipeline.statsItemQuerySql,
+    "q37_stats_status" -> graft.pipelines.WalmartOrderPipeline.statsStatusQuerySql,
   )
 }

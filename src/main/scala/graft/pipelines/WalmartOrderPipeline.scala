@@ -154,4 +154,85 @@ object WalmartOrderPipeline {
       .agg(count(lit(1)).as("cnt"))
       .select(col("orderLineStatus"), col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("cnt"))
+
+  // ---- oracle-checked stage-2 queries (q34-q37) ---------------------
+  // The stage-2 README names these THE acceptance queries
+  // (stage2_window_statistics/README.md:7-11). The driver fixtures have
+  // no Walmart order dump, so a deterministic flat-order stand-in is
+  // derived from the events table; the SAME production stats functions
+  // run over it and are value-checked against DuckDB. Decimal sums are
+  // exact; the query wrappers cast to double for the cross-engine hash.
+
+  /** events → the flat-order column subset the stats consume. */
+  def flatFromEvents(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir).select(
+      col("ts").as("orderDate_formatted"),
+      col("value").cast("decimal(10,2)").as("chargeAmount"),
+      concat(lit("sku-"), (col("event_id") % 100).cast("string")).as("sku"),
+      concat(col("user_id").cast("string"), lit("@example.com")).as("customerEmailId"),
+      ((col("event_id") % 5) + 1).cast("int").as("quantity"),
+      col("event_type").as("orderLineStatus"))
+
+  private val flatCte =
+    """WITH flat AS (
+      |  SELECT ts AS odate, CAST(value AS DECIMAL(10,2)) AS amount,
+      |    'sku-' || CAST(event_id % 100 AS VARCHAR) AS sku,
+      |    CAST(user_id AS VARCHAR) || '@example.com' AS email,
+      |    CAST(event_id % 5 + 1 AS INT) AS quantity,
+      |    event_type AS status
+      |  FROM events)""".stripMargin
+
+  def statsMinuteQuery(spark: SparkSession, sfDir: String): DataFrame =
+    statsMinute(flatFromEvents(spark, sfDir))
+      .select(col("window_start"), col("window_end"), col("order_count"),
+        col("total_amount").cast("double").as("total_amount"))
+      .orderBy("window_start")
+
+  val statsMinuteQuerySql: String =
+    s"""$flatCte
+       |SELECT date_trunc('minute', odate) AS window_start,
+       |  date_trunc('minute', odate) + INTERVAL 1 MINUTE AS window_end,
+       |  COUNT(*) AS order_count, CAST(SUM(amount) AS DOUBLE) AS total_amount
+       |FROM flat GROUP BY 1, 2 ORDER BY window_start""".stripMargin
+
+  def statsUserQuery(spark: SparkSession, sfDir: String): DataFrame =
+    statsUser(flatFromEvents(spark, sfDir))
+      .select(col("user_or_email"), col("window_start"), col("window_end"),
+        col("order_count"), col("total_amount").cast("double").as("total_amount"))
+      .orderBy("user_or_email", "window_start")
+
+  val statsUserQuerySql: String =
+    s"""$flatCte
+       |SELECT email AS user_or_email,
+       |  date_trunc('hour', odate) AS window_start,
+       |  date_trunc('hour', odate) + INTERVAL 1 HOUR AS window_end,
+       |  COUNT(*) AS order_count, CAST(SUM(amount) AS DOUBLE) AS total_amount
+       |FROM flat GROUP BY 1, 2, 3 ORDER BY user_or_email, window_start""".stripMargin
+
+  def statsItemQuery(spark: SparkSession, sfDir: String): DataFrame =
+    statsItem(flatFromEvents(spark, sfDir))
+      .select(col("sku"), col("window_start"), col("window_end"),
+        col("qty_sold"), col("revenue").cast("double").as("revenue"))
+      .orderBy("sku", "window_start")
+
+  val statsItemQuerySql: String =
+    s"""$flatCte
+       |SELECT sku, date_trunc('hour', odate) AS window_start,
+       |  date_trunc('hour', odate) + INTERVAL 1 HOUR AS window_end,
+       |  CAST(SUM(quantity) AS BIGINT) AS qty_sold,
+       |  CAST(SUM(amount) AS DOUBLE) AS revenue
+       |FROM flat GROUP BY 1, 2, 3 ORDER BY sku, window_start""".stripMargin
+
+  def statsStatusQuery(spark: SparkSession, sfDir: String): DataFrame =
+    statsStatus(flatFromEvents(spark, sfDir))
+      .select(col("orderLineStatus"), col("window_start"), col("window_end"), col("cnt"))
+      .orderBy("orderLineStatus", "window_start")
+
+  val statsStatusQuerySql: String =
+    s"""$flatCte
+       |SELECT status AS orderLineStatus,
+       |  date_trunc('hour', odate) AS window_start,
+       |  date_trunc('hour', odate) + INTERVAL 1 HOUR AS window_end,
+       |  COUNT(*) AS cnt
+       |FROM flat GROUP BY 1, 2, 3 ORDER BY orderLineStatus, window_start""".stripMargin
 }
