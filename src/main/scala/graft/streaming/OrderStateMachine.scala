@@ -32,6 +32,10 @@ object OrderStateMachine {
 
   val initialStatus = "Created"
 
+  /** No outgoing transitions — closed orders carry no timeout timers. */
+  val terminalStatuses: Set[String] =
+    validTransitions.collect { case (s, outs) if outs.isEmpty => s }.toSet
+
   final case class OrderEvent(purchaseOrderId: Long, status: String, ts: Timestamp)
   final case class OrderState(lastStatus: String, lastTsMillis: Long)
   final case class Transition(purchaseOrderId: Long, from: String, to: String,

@@ -46,6 +46,46 @@ class OrderStateMachineSpec extends SparkSpec {
     assert(!out.find(x => x.purchaseOrderId == 5L && x.to == "Cancelled").get.valid)
   }
 
+  test("event-time timeout: stuck open orders fire on watermark advance, closed orders don't") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[OrderEvent]
+      val q = graft.streaming.OrderTimeoutDetector
+        .detectEventTime(mem.toDS(), timeoutMs = 10 * 60000L) // 10-minute timeout
+        .writeStream.format("memory").queryName("otd_out")
+        .outputMode("append").start()
+      try {
+        // order 7 stalls after Acknowledged; order 8 closes (Cancelled)
+        mem.addData(
+          OrderEvent(7L, "Created", t(0)), OrderEvent(7L, "Acknowledged", t(1)),
+          OrderEvent(8L, "Created", t(0)), OrderEvent(8L, "Cancelled", t(1)))
+        q.processAllAvailable()
+        val before = spark.table("otd_out").as[Transition].collect()
+        assert(before.count(_.kind == "STUCK") == 0, "no stuck before watermark advance")
+        // a later event advances the watermark past t(1) + 10 min
+        mem.addData(OrderEvent(9L, "Created", t(30)))
+        q.processAllAvailable()
+        val rows = spark.table("otd_out").as[Transition].collect()
+        val stuck = rows.filter(_.kind == "STUCK")
+        assert(stuck.map(_.purchaseOrderId).toSeq == Seq(7L),
+          s"only the open order may time out, got ${stuck.toSeq}")
+        assert(stuck.head.from == "Acknowledged" && !stuck.head.valid)
+        // replayed event time is the order's LAST event, not wall clock
+        assert(stuck.head.tsMillis == t(1).getTime)
+        // order 9 is still open and within its timeout
+        assert(rows.count(_.purchaseOrderId == 9L) == 1)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("state persists across streaming batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[OrderEvent]
