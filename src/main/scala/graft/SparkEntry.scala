@@ -91,6 +91,9 @@ object SparkEntry {
     "q35_stats_user" -> graft.pipelines.WalmartOrderPipeline.statsUserQuery _,
     "q36_stats_item" -> graft.pipelines.WalmartOrderPipeline.statsItemQuery _,
     "q37_stats_status" -> graft.pipelines.WalmartOrderPipeline.statsStatusQuery _,
+    // §2.10 ST6: stage-3 anomaly CEP (large / frequent / consecutive)
+    "q38_order_anomalies" -> graft.streaming.OrderAnomalyDetector.anomalyQuery _,
+    "q39_consecutive_pairs" -> graft.streaming.OrderAnomalyDetector.consecutiveQuery _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,5 +136,7 @@ object SparkEntry {
     "q35_stats_user" -> graft.pipelines.WalmartOrderPipeline.statsUserQuerySql,
     "q36_stats_item" -> graft.pipelines.WalmartOrderPipeline.statsItemQuerySql,
     "q37_stats_status" -> graft.pipelines.WalmartOrderPipeline.statsStatusQuerySql,
+    "q38_order_anomalies" -> graft.streaming.OrderAnomalyDetector.anomalyQuerySql,
+    "q39_consecutive_pairs" -> graft.streaming.OrderAnomalyDetector.consecutiveQuerySql,
   )
 }

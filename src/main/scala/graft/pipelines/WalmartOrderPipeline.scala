@@ -173,7 +173,7 @@ object WalmartOrderPipeline {
       ((col("event_id") % 5) + 1).cast("int").as("quantity"),
       col("event_type").as("orderLineStatus"))
 
-  private val flatCte =
+  private[graft] val flatCte =
     """WITH flat AS (
       |  SELECT ts AS odate, CAST(value AS DECIMAL(10,2)) AS amount,
       |    'sku-' || CAST(event_id % 100 AS VARCHAR) AS sku,
