@@ -41,6 +41,36 @@ class OrderAnomalySpec extends SparkSpec {
       Seq((1L, 10L, 11L, 100L)))
   }
 
+  test("frequent-orders is an append-mode streaming alert under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    final case class Order(customerEmailId: String, chargeAmount: Double,
+                           orderDate_formatted: Timestamp)
+    // minute-aligned base so all three u1 orders land in one window
+    def ta(sec: Int) = new Timestamp(1700000040000L + sec * 1000L)
+    val mem = MemoryStream[(String, Double, Timestamp)]
+    val flat = mem.toDS()
+      .toDF("customerEmailId", "chargeAmount", "orderDate_formatted")
+      .withWatermark("orderDate_formatted", "0 seconds")
+    val q = OrderAnomalyDetector.frequentOrders(flat, maxPerMinute = 2)
+      .writeStream.format("memory").queryName("freq_out")
+      .outputMode("append").start()
+    try {
+      // 3 orders from u1 inside minute 0; u2 only 1
+      mem.addData(("u1@x", 1.0, ta(5)), ("u1@x", 2.0, ta(20)),
+        ("u1@x", 3.0, ta(40)), ("u2@x", 4.0, ta(50)))
+      q.processAllAvailable()
+      // window [0,60) not closed yet — append emits nothing
+      assert(spark.table("freq_out").count() == 0)
+      // advance the watermark past the minute boundary
+      mem.addData(("u3@x", 5.0, ta(130)))
+      q.processAllAvailable()
+      val rows = spark.table("freq_out")
+        .select("kind", "user_or_email", "metric").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(rows == Set(("FREQUENT", "u1@x", 3.0)))
+    } finally q.stop()
+  }
+
   test("streaming consecutive pairs keep one last-event per user across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
