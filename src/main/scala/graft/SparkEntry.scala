@@ -94,6 +94,10 @@ object SparkEntry {
     // §2.10 ST6: stage-3 anomaly CEP (large / frequent / consecutive)
     "q38_order_anomalies" -> graft.streaming.OrderAnomalyDetector.anomalyQuery _,
     "q39_consecutive_pairs" -> graft.streaming.OrderAnomalyDetector.consecutiveQuery _,
+    // beyond-reference temporal joins: as-of (union+window, zero-join)
+    // and broadcast range-bin join
+    "q40_asof_join" -> graft.operators.AsOfOps.asOfQuery _,
+    "q41_range_bin_join" -> graft.operators.AsOfOps.rangeBinQuery _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -138,5 +142,7 @@ object SparkEntry {
     "q37_stats_status" -> graft.pipelines.WalmartOrderPipeline.statsStatusQuerySql,
     "q38_order_anomalies" -> graft.streaming.OrderAnomalyDetector.anomalyQuerySql,
     "q39_consecutive_pairs" -> graft.streaming.OrderAnomalyDetector.consecutiveQuerySql,
+    "q40_asof_join" -> graft.operators.AsOfOps.asOfQuerySql,
+    "q41_range_bin_join" -> graft.operators.AsOfOps.rangeBinQuerySql,
   )
 }
