@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.DotProduct.dot_product
 
 /** Similarity search over an embedding column (Array[Float]).
   *
@@ -26,14 +27,16 @@ object EmbeddingOps {
   val numQueries = 5
   val nearDupCos = 0.4
 
-  /** Sequential-fold dot product of two array<double> columns. */
-  private def dotE(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
+  /** Sequential-fold dot product — the native codegen expression
+    * (graft.functions.DotProduct), bit-identical to the higher-order
+    * `aggregate(zip_with(...))` fold it replaced but inside
+    * whole-stage codegen instead of CodegenFallback. */
+  private def dotC(a: Column, b: Column): Column = dot_product(a, b)
 
   private def vectors(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", expr(s"sqrt(${dotE("v", "v")})"))
+      .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
 
   /** Brute-force cosine top-k for a fixed query set (vec_id < numQueries). */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -43,7 +46,7 @@ object EmbeddingOps {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val sims = vs.crossJoin(broadcast(qs))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(expr(dotE("qv", "v")) / (col("qn") * col("nrm")), 6))
+      .withColumn("cos", round(dotC(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
@@ -86,12 +89,16 @@ object EmbeddingOps {
   def lshBuckets(spark: SparkSession, sfDir: String, planes: Int): DataFrame =
     lshBucketsFrom(vectors(spark, sfDir), planes).orderBy("vec_id")
 
+  /** Hyperplane p as a literal sign vector — the projection is then a
+    * codegen dot product instead of an interpreted 64-step fold.
+    * Identical arithmetic: sign_d * v_d summed in index order. */
+  private def planeVec(p: Int): Array[Double] =
+    Array.tabulate(dim)(d => if ((d * 13 + p * 7) % 5 < 2) 1.0 else -1.0)
+
   private def lshBucketsFrom(vecs: DataFrame, planes: Int = numPlanes): DataFrame = {
     require(planes > 0 && planes < 31, s"planes must be in [1, 30], got $planes")
     val withProj = (0 until planes).foldLeft(vecs) { (df, p) =>
-      df.withColumn(s"proj$p", expr(
-        s"aggregate(sequence(0, ${dim - 1}), cast(0 as double), " +
-          s"(s, d) -> s + ${planeSign(p, "d")} * element_at(v, d + 1))"))
+      df.withColumn(s"proj$p", dotC(lit(planeVec(p)), col("v")))
     }
     val bucketExpr = (0 until planes)
       .map(p => s"(case when proj$p > 0 then ${1 << p} else 0 end)")
@@ -134,7 +141,7 @@ object EmbeddingOps {
         col("nrm").as("qn"), col("bucket").as("qbucket"))
     val sims = vb.join(broadcast(qs),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(expr(dotE("qv", "v")) / (col("qn") * col("nrm")), 6))
+      .withColumn("cos", round(dotC(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
@@ -180,11 +187,11 @@ object EmbeddingOps {
   val numCentroids = 8
   val kmeansIters = 2
 
-  /** Sequential-fold dot product of a driver-side centroid with the
-    * vector column — a pure per-row expression, bit-identical to the
+  /** Codegen dot product of a driver-side centroid with the vector
+    * column — a pure per-row expression, bit-identical to the
     * oracle's list_dot_product over the same values. */
   private def dotLit(cv: Array[Double], v: Column): Column =
-    aggregate(zip_with(lit(cv), v, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    dotC(lit(cv), v)
 
   /** (rounded cosine, -cent_id) score structs vs every centroid; the
     * lexicographic max is "highest similarity, ties to lower id". */
@@ -265,7 +272,7 @@ object EmbeddingOps {
         explode(probeCentroids(cents, nprobe)).as("qcent"))
     val sims = assigned.join(broadcast(qs),
         col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(expr(dotE("qv", "v")) / (col("qn") * col("nrm")), 6))
+      .withColumn("cos", round(dotC(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
@@ -328,7 +335,7 @@ object EmbeddingOps {
     val b = vb.select(col("vec_id").as("vec_b"), col("v").as("vb"),
       col("nrm").as("nb"), col("bucket").as("bb"))
     a.join(b, col("ba") === col("bb") && col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(expr(dotE("va", "vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cos", round(dotC(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .where(col("cos") >= nearDupCos)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
