@@ -132,12 +132,15 @@ object DedupOps {
   /** One row per (doc_id, distinct shingle) with both hash widths:
     * `h` (32-bit, minhash) and `h60` (60-bit, simhash) — a single
     * staged table serves every downstream dedup stage. */
-  private def computeShingles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .selectExpr("doc_id", s"explode($bigramsE) as s")
       .withColumn("h", expr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"))
       .withColumn("h60", expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"))
+
+  private def computeShingles(spark: SparkSession, sfDir: String): DataFrame =
+    shinglesOf(Tables.documents(spark, sfDir))
 
   private def shingleTable(spark: SparkSession, sfDir: String): DataFrame =
     staged(spark, sfDir, "shingles")(computeShingles(spark, sfDir))
@@ -203,14 +206,53 @@ object DedupOps {
     lshCandidates(spark, sfDir, defaultParams)
 
   def lshCandidates(spark: SparkSession, sfDir: String, p: MinHashParams): DataFrame =
-    lshCandidatesFrom(sigTable(spark, sfDir, p), p)
+    lshCandidatesFrom(sigTable(spark, sfDir, p), p, BandGuard.default)
 
-  private def lshCandidatesFrom(sig: DataFrame, p: MinHashParams): DataFrame = {
+  /** LSH candidates over an arbitrary `(doc_id, text)` frame — the
+    * library entry for corpora not staged under a testdata dir; no
+    * read-through staging, explicit skew guard. */
+  def lshCandidatesOf(docs: DataFrame,
+                      p: MinHashParams = defaultParams,
+                      g: BandGuard = BandGuard.default): DataFrame =
+    lshCandidatesFrom(
+      signaturesFrom(shinglesOf(docs), p)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      p, g)
+
+  private def lshCandidatesFrom(sig: DataFrame, p: MinHashParams, g: BandGuard): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // --- guard stage 1: exact-duplicate collapse before banding -----------
+    // Docs sharing a full signature are (estimated-)identical; a group of
+    // g identical docs would otherwise contribute g²/2 pairs through EVERY
+    // band bucket it lands in. Groups above the threshold band only their
+    // representative and emit a linear (rep, member) star instead.
+    val (bandSig, starPairs) =
+      if (g.maxGroupAllPairs == Int.MaxValue)
+        (sig, sig.limit(0).select(
+          col("doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+          lit(1.0).as("est_jaccard")))
+      else {
+        val mhCols = (0 until p.numHashes).map(i => col(s"mh$i"))
+        val wg = Window.partitionBy(mhCols: _*)
+        val tagged = sig
+          .withColumn("__gmin", min(col("doc_id")).over(wg))
+          .withColumn("__gsz", count(lit(1)).over(wg))
+        (tagged
+           .where(col("__gsz") <= g.maxGroupAllPairs || col("doc_id") === col("__gmin"))
+           .select(sig.columns.map(col): _*),
+         tagged
+           .where(col("__gsz") > g.maxGroupAllPairs && col("doc_id") =!= col("__gmin"))
+           .select(col("__gmin").as("doc_a"), col("doc_id").as("doc_b"),
+             lit(1.0).as("est_jaccard")))
+      }
     val bandCols = (0 until p.numBands).map { b =>
       val mhs = (b * p.rowsPerBand until (b + 1) * p.rowsPerBand).map(i => col(s"mh$i"))
       concat_ws("_", (lit(b) +: mhs): _*)
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    val bands0 = bandSig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    // --- guard stage 2: per-bucket membership cap --------------------------
+    SkewGuard.maybeLogOverflow(bands0, "bk", g.maxBucket, g.logOverflow, "lshCandidates")
+    val bands = SkewGuard.capBuckets(bands0, "bk", "doc_id", g.maxBucket)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -226,6 +268,7 @@ object DedupOps {
       .withColumn("est_jaccard", matches.cast("double") / p.numHashes)
       .where(col("est_jaccard") >= estThreshold)
       .select("doc_a", "doc_b", "est_jaccard")
+      .unionByName(starPairs)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -404,10 +447,45 @@ object DedupOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case _ => simhashTable(spark, sfDir)
     }
+    simhashPairsFrom(sh, BandGuard.default)
+  }
+
+  /** SimHash pairs over an arbitrary `(doc_id, text)` frame with an
+    * explicit skew guard; no read-through staging. */
+  def simhashPairsOf(docs: DataFrame, g: BandGuard = BandGuard.default): DataFrame =
+    simhashPairsFrom(
+      simhashFrom(shinglesOf(docs))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      g)
+
+  private def simhashPairsFrom(sh: DataFrame, g: BandGuard): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // guard stage 1: identical-simhash collapse (Hamming 0 by definition)
+    val (bandSh, starPairs) =
+      if (g.maxGroupAllPairs == Int.MaxValue)
+        (sh, sh.limit(0).select(
+          col("doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+          lit(0).as("hamming")))
+      else {
+        val wg = Window.partitionBy("simhash")
+        val tagged = sh
+          .withColumn("__gmin", min(col("doc_id")).over(wg))
+          .withColumn("__gsz", count(lit(1)).over(wg))
+        (tagged
+           .where(col("__gsz") <= g.maxGroupAllPairs || col("doc_id") === col("__gmin"))
+           .select("doc_id", "simhash"),
+         tagged
+           .where(col("__gsz") > g.maxGroupAllPairs && col("doc_id") =!= col("__gmin"))
+           .select(col("__gmin").as("doc_a"), col("doc_id").as("doc_b"),
+             lit(0).as("hamming")))
+      }
     val bandCols = (0 until 4).map { b =>
       concat_ws("_", lit(b), expr(s"shiftright(simhash, ${15 * b}) & 32767"))
     }
-    val bands = sh.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+    val bands0 = bandSh.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+    // guard stage 2: per-bucket membership cap
+    SkewGuard.maybeLogOverflow(bands0, "bk", g.maxBucket, g.logOverflow, "simhashPairs")
+    val bands = SkewGuard.capBuckets(bands0, "bk", "doc_id", g.maxBucket)
     bands.as("x").join(bands.as("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(
@@ -415,6 +493,7 @@ object DedupOps {
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .distinct()
       .where(col("hamming") <= hammingThreshold)
+      .unionByName(starPairs)
       .orderBy("doc_a", "doc_b")
   }
 

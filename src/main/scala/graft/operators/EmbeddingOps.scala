@@ -325,10 +325,48 @@ object EmbeddingOps {
   }
 
   /** Embedding near-duplicate pairs: cosine above threshold, searched
-    * within LSH buckets only (bounded candidate set at scale). */
-  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val vs = vectors(spark, sfDir)
-    val vb = vs.join(lshBucketsFrom(vs), "vec_id")
+    * within LSH buckets only (bounded candidate set at scale). Guarded
+    * against degenerate buckets — see [[BandGuard]]: identical vectors
+    * above the group threshold collapse to a linear (rep, member) star
+    * (cos exactly 1.0) before bucketing, and each bucket keeps at most
+    * `maxBucket` members in the self-join. */
+  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupPairsFrom(vectors(spark, sfDir), BandGuard.default)
+
+  /** Near-dup pairs over an arbitrary `(vec_id, embedding)` frame with
+    * an explicit skew guard. */
+  def nearDupPairsOf(embeddings: DataFrame, g: BandGuard = BandGuard.default): DataFrame =
+    nearDupPairsFrom(
+      embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dot_product(col("v"), col("v")))),
+      g)
+
+  private def nearDupPairsFrom(vs: DataFrame, g: BandGuard): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // guard stage 1: identical-vector collapse (cosine 1.0 by definition)
+    val (bandVs, starPairs) =
+      if (g.maxGroupAllPairs == Int.MaxValue)
+        (vs, vs.limit(0).select(
+          col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
+          lit(1.0).as("cos")))
+      else {
+        val wg = Window.partitionBy("v")
+        val tagged = vs
+          .withColumn("__gmin", min(col("vec_id")).over(wg))
+          .withColumn("__gsz", count(lit(1)).over(wg))
+        (tagged
+           .where(col("__gsz") <= g.maxGroupAllPairs || col("vec_id") === col("__gmin"))
+           .select("vec_id", "v", "nrm"),
+         tagged
+           .where(col("__gsz") > g.maxGroupAllPairs && col("vec_id") =!= col("__gmin"))
+           .select(col("__gmin").as("vec_a"), col("vec_id").as("vec_b"),
+             lit(1.0).as("cos")))
+      }
+    val vb0 = bandVs.join(lshBucketsFrom(bandVs), "vec_id")
+    // guard stage 2: per-bucket membership cap
+    SkewGuard.maybeLogOverflow(vb0, "bucket", g.maxBucket, g.logOverflow, "nearDupPairs")
+    val vb = SkewGuard.capBuckets(vb0, "bucket", "vec_id", g.maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = vb.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("nrm").as("na"), col("bucket").as("ba"))
@@ -338,6 +376,7 @@ object EmbeddingOps {
       .withColumn("cos", round(dotC(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .where(col("cos") >= nearDupCos)
       .select("vec_a", "vec_b", "cos")
+      .unionByName(starPairs)
       .orderBy("vec_a", "vec_b")
   }
 

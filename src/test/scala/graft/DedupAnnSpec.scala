@@ -100,4 +100,95 @@ class DedupAnnSpec extends SparkSpec {
     })
     intercept[IllegalArgumentException] { EmbeddingOps.lshBuckets(spark, sf, 31) }
   }
+
+  // ------------------------------------------------------- round-3 skew guard
+
+  import graft.operators.BandGuard
+
+  test("guard: 1.2k identical docs collapse to a linear star, not 720k pairs") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((0L until 1200L).map(i => (i, boiler)) ++
+      Seq((2000L, "completely different text one alpha beta gamma"),
+          (2001L, "another unrelated document delta epsilon zeta eta")))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.lshCandidatesOf(docs, DedupOps.defaultParams,
+      BandGuard(maxBucket = 256, maxGroupAllPairs = 64, logOverflow = true))
+      .collect()
+    // unguarded would be ~1200*1199/2 = 719,400 pairs; the star is 1,199
+    assert(pairs.length < 1500, s"pair explosion not bounded: ${pairs.length}")
+    val star = pairs.filter(r => r.getAs[Long]("doc_a") == 0L)
+    assert(star.length == 1199, s"expected 1199 star pairs, got ${star.length}")
+    assert(star.forall(_.getAs[Double]("est_jaccard") == 1.0))
+  }
+
+  test("guard: small identical groups keep exact all-pairs output") {
+    import spark.implicits._
+    // group A (100 docs) exceeds maxGroupAllPairs=64 -> star; group B (10) stays all-pairs
+    val docs = ((0L until 100L).map(i => (i, "boilerplate header text shared by many pages")) ++
+      (200L until 210L).map(i => (i, "footer legal text repeated ten times exactly")))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.lshCandidatesOf(docs, DedupOps.defaultParams, BandGuard.default)
+      .collect()
+    val aStar = pairs.filter(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") < 100L)
+    assert(aStar.length == 99, s"group A should star-expand: ${aStar.length}")
+    val bPairs = pairs.filter(r => r.getAs[Long]("doc_a") >= 200L)
+    assert(bPairs.length == 45, s"group B (10 docs) should keep all 45 pairs: ${bPairs.length}")
+    assert(bPairs.forall(_.getAs[Double]("est_jaccard") == 1.0))
+  }
+
+  test("guard: simhash identical docs collapse to hamming-0 star") {
+    import spark.implicits._
+    val docs = (0L until 1100L).map(i => (i, "identical simhash content words words words more"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairsOf(docs, BandGuard.default).collect()
+    assert(pairs.length == 1099, s"expected linear star, got ${pairs.length}")
+    assert(pairs.forall(_.getAs[Int]("hamming") == 0))
+  }
+
+  test("guard: degenerate embedding bucket is capped at maxBucket members") {
+    import spark.implicits._
+    // 1000 DISTINCT but parallel vectors: (1 + i*1e-6) * ones -> identical
+    // sign pattern on every plane -> one bucket of 1000; identical-vector
+    // collapse cannot fire, only the bucket cap can.
+    val emb = (0L until 1000L)
+      .map(i => (i, Array.fill(EmbeddingOps.dim)(1.0 + i * 1e-6)))
+      .toDF("vec_id", "embedding")
+    val g = BandGuard(maxBucket = 64, maxGroupAllPairs = 64, logOverflow = true)
+    val pairs = EmbeddingOps.nearDupPairsOf(emb, g).collect()
+    // bucket keeps its 64 lowest ids -> exactly 64*63/2 parallel pairs
+    assert(pairs.length == 64 * 63 / 2, s"cap not applied: ${pairs.length}")
+    assert(pairs.forall(_.getAs[Double]("cos") == 1.0))
+    spark.catalog.clearCache()
+  }
+
+  test("guard: overflow stats report dropped membership per bucket") {
+    import spark.implicits._
+    val bands = ((0 until 300).map(i => (i.toLong, "hot")) ++
+      (1000 until 1010).map(i => (i.toLong, "cold"))).toDF("doc_id", "bk")
+    val stats = graft.operators.SkewGuard.overflowStats(bands, "bk", 256)
+      .collect()
+    assert(stats.length == 1)
+    assert(stats.head.getAs[String]("bk") == "hot")
+    assert(stats.head.getAs[Long]("dropped") == 44L)
+    val capped = graft.operators.SkewGuard.capBuckets(bands, "bk", "doc_id", 256)
+    assert(capped.count() == 256 + 10)
+  }
+
+  test("guard defaults are bit-identical to unguarded on the test corpus") {
+    val docs = Tables.documents(spark, sf)
+    val guarded = DedupOps.lshCandidatesOf(docs, DedupOps.defaultParams, BandGuard.default)
+      .collect().toSeq
+    val unguarded = DedupOps.lshCandidatesOf(docs, DedupOps.defaultParams, BandGuard.off)
+      .collect().toSeq
+    assert(guarded == unguarded)
+    val gs = DedupOps.simhashPairsOf(docs, BandGuard.default).collect().toSeq
+    val us = DedupOps.simhashPairsOf(docs, BandGuard.off).collect().toSeq
+    assert(gs == us)
+    val emb = Tables.embeddings(spark, sf)
+    val ge = EmbeddingOps.nearDupPairsOf(emb, BandGuard.default).collect().toSeq
+    val ue = EmbeddingOps.nearDupPairsOf(emb, BandGuard.off).collect().toSeq
+    assert(ge == ue)
+    spark.catalog.clearCache()
+  }
 }
