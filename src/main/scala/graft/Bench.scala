@@ -3,6 +3,14 @@ package graft
 /** Benchmark main: one JSON line with per-query seconds at
   * SPARK_GRAFT_SF_DIR (driver contract).
   *
+  * Measurement discipline (round-3): every query is timed THREE times
+  * and the MEDIAN is reported — a single sample on a contended sandbox
+  * mis-ranks queries by an order of magnitude (round-2 postmortem:
+  * q21 17.4 s sampled vs 0.91 s re-run). A run that throws is never
+  * reported as a fast green number: its error surfaces in the
+  * `"errors"` map and the median is taken over the successful runs
+  * only (-1 when all three fail).
+  *
   * Staging accounting (round-2): the dedup pair/verify queries share
   * shingle/signature subtrees through parquet staging tables
   * (DedupOps.stageSignatures). The bench materializes them into a
@@ -10,7 +18,9 @@ package graft
   * so the headline total pays the full cost honestly — and ALSO runs
   * the staging-dependent queries with staging disabled
   * (`unstaged_queries` field) so staged-vs-unstaged deltas stay
-  * attributable round over round.
+  * attributable round over round. Both passes scope the staging root
+  * through DedupOps.withStagingRoot (thread-local), not the global
+  * sys-prop.
   */
 object Bench {
   // the queries that read the staged dedup tables
@@ -18,41 +28,68 @@ object Bench {
     Seq("q20_minhash_signatures", "q21_lsh_candidates", "q22_jaccard_verify",
       "q23_simhash", "q24_simhash_pairs", "q32_dedup_keep_list")
 
+  private val reps = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    def time(body: => Unit): Double = {
-      val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
-      spark.catalog.clearCache() // no cross-query cache effects
-      (System.nanoTime() - t0) / 1e9
+    /** Median-of-`reps` seconds for `body`; failures recorded under
+      * `name` instead of silently counting as elapsed time. */
+    def measure(name: String)(body: => Unit): Double = {
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val err =
+          try { body; None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+          }
+        spark.catalog.clearCache() // no cross-run cache effects
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      runs.flatMap(_._2).headOption.foreach(errors(name) = _)
+      val ok = runs.collect { case (s, None) => s }.sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
     }
 
     // warm-up: JIT + codegen + file-index caches, so per-query numbers
     // measure the query, not session startup
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try SparkEntry.entry(spark).count()
+    catch { case e: Throwable => errors("warmup") = e.toString.take(160) }
 
     // pass 1: staging OFF — the persist()-fallback baseline for the
     // dedup pipeline queries
-    sys.props("graft.stage.dir") = "off"
-    val unstaged = stagedNames.map { name =>
-      name -> time(SparkEntry.queries(name)(spark, sfDir).count())
+    val unstaged = graft.operators.DedupOps.withStagingRoot(None) {
+      stagedNames.map { name =>
+        name -> measure(s"unstaged_$name")(SparkEntry.queries(name)(spark, sfDir).count())
+      }
     }
 
     // pass 2: staging ON into a fresh dir; materialization is its own
-    // timed entry, then every query runs (dedup ones read the staging)
-    sys.props("graft.stage.dir") =
-      java.nio.file.Files.createTempDirectory("graft_bench_stage").toString
-    val stageSecs = time(graft.operators.DedupOps.stageSignatures(spark, sfDir))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time(fn(spark, sfDir).count())
-    } :+ ("stage_dedup" -> stageSecs)
+    // timed entry (single-shot: the staging tables are write-once, a
+    // repeat would measure a no-op), then every query runs
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_bench_stage").toString
+    val results = graft.operators.DedupOps.withStagingRoot(Some(stageDir)) {
+      val t0 = System.nanoTime()
+      try graft.operators.DedupOps.stageSignatures(spark, sfDir)
+      catch { case e: Throwable => errors("stage_dedup") = e.toString.take(160) }
+      val stageSecs = (System.nanoTime() - t0) / 1e9
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> measure(name)(fn(spark, sfDir).count())
+      } :+ ("stage_dedup" -> stageSecs)
+    }
 
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => " "; case c => c.toString }
     def toJson(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errJson = errors.toSeq
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"unstaged_queries":${toJson(unstaged)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${toJson(results)},"unstaged_queries":${toJson(unstaged)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

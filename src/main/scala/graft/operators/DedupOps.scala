@@ -70,12 +70,25 @@ object DedupOps {
     * directory so stale rounds can never be read back. */
   private val stageVersion = "v1"
 
+  /** Thread-local staging override: `Some(rootOpt)` wins over the
+    * sys-prop (rootOpt None = staging off). Lets concurrent library
+    * consumers use different staging roots without racing on the
+    * global property (graft.Bench uses this for its two passes). */
+  private val overrideRoot =
+    new scala.util.DynamicVariable[Option[Option[String]]](None)
+
+  /** Run `body` with an explicit staging root (`Some(dir)`) or staging
+    * disabled (`None`), scoped to the current thread. */
+  def withStagingRoot[T](root: Option[String])(body: => T): T =
+    overrideRoot.withValue(Some(root))(body)
+
   private def stagingRoot: Option[String] =
-    sys.props.get("graft.stage.dir") match {
-      case Some("off") | Some("") => None
-      case Some(dir)              => Some(dir)
-      case None => Some(System.getProperty("java.io.tmpdir") + "/graft-stage")
-    }
+    overrideRoot.value.getOrElse(
+      sys.props.get("graft.stage.dir") match {
+        case Some("off") | Some("") => None
+        case Some(dir)              => Some(dir)
+        case None => Some(System.getProperty("java.io.tmpdir") + "/graft-stage")
+      })
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

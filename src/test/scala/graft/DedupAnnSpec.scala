@@ -45,18 +45,20 @@ class DedupAnnSpec extends SparkSpec {
 
   test("staged and unstaged paths produce identical candidates") {
     val stagedRows = DedupOps.lshCandidates(spark, sf).collect().toSeq
-    val prev = sys.props.get("graft.stage.dir")
-    sys.props("graft.stage.dir") = "off"
-    try {
-      val unstaged = DedupOps.lshCandidates(spark, sf).collect().toSeq
-      assert(stagedRows == unstaged)
-    } finally {
-      prev match {
-        case Some(v) => sys.props("graft.stage.dir") = v
-        case None => sys.props.remove("graft.stage.dir")
-      }
-      spark.catalog.clearCache() // drop the unstaged persist()
+    // thread-local override, not the global sys-prop: concurrent
+    // consumers with different staging roots must not race
+    val unstaged = DedupOps.withStagingRoot(None) {
+      DedupOps.lshCandidates(spark, sf).collect().toSeq
     }
+    assert(stagedRows == unstaged)
+    spark.catalog.clearCache() // drop the unstaged persist()
+    // and an explicit alternate root is honored
+    val altRoot = java.nio.file.Files.createTempDirectory("graft_alt_stage").toString
+    val alt = DedupOps.withStagingRoot(Some(altRoot)) {
+      DedupOps.lshCandidates(spark, sf).collect().toSeq
+    }
+    assert(alt == stagedRows)
+    assert(Files.list(Paths.get(altRoot)).count() > 0, "alternate root unused")
   }
 
   test("k-means centroids: sampled seeds converge to <=k finite centroids") {
