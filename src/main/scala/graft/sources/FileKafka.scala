@@ -92,7 +92,9 @@ object FileKafka {
     val enc = Base64.getEncoder
     val lines = records.zipWithIndex.map { case ((k, v), i) =>
       val kb = if (k == null) "" else enc.encodeToString(k)
-      s"${start + i},$kb,${enc.encodeToString(v)},$timestampMillis"
+      // null value = Kafka tombstone; encoded as empty, decoded to null
+      val vb = if (v == null) "" else enc.encodeToString(v)
+      s"${start + i},$kb,$vb,$timestampMillis"
     }
     Files.write(f.toPath, lines.asJava, StandardCharsets.UTF_8,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -105,6 +107,28 @@ object FileKafka {
     produce(dir, topic, partition,
       values.map(v => (null: Array[Byte], v.getBytes(StandardCharsets.UTF_8))),
       timestampMillis)
+
+  /** Driver-side record read for the consumer client: up to
+    * `maxRecords` from `start` (Long-safe skip). Returns
+    * (offset, key, value, timestampMillis); null key/value = absent/
+    * tombstone. */
+  private[sources] def readRecords(dir: String, topic: String, partition: Int,
+      start: Long, maxRecords: Int): Seq[(Long, Array[Byte], Array[Byte], Long)] = {
+    val f = partitionFile(dir, topic, partition)
+    if (!f.exists() || maxRecords <= 0) Nil
+    else {
+      val dec = Base64.getDecoder
+      val s = Files.lines(f.toPath)
+      try {
+        s.skip(start).limit(maxRecords.toLong).iterator().asScala.map { line =>
+          val parts = line.split(",", 4)
+          val k = if (parts(1).isEmpty) null else dec.decode(parts(1))
+          val v = if (parts(2).isEmpty) null else dec.decode(parts(2))
+          (parts(0).toLong, k, v, parts(3).toLong)
+        }.toList
+      } finally s.close()
+    }
+  }
 
   /** S1 streaming read; drop-in shape for Sources.kafkaStream. */
   def stream(spark: SparkSession, dir: String, topic: String,
@@ -181,17 +205,30 @@ private[sources] class FileKafkaReaderFactory extends PartitionReaderFactory {
         val f = new File(fk.file)
         if (f.exists()) Some(Files.lines(f.toPath)) else None
       }
+      // Long-safe slice: a .toInt here would wrap past 2^31 records and
+      // silently replay from a bogus offset instead of seeking correctly
       private val lines: Iterator[String] =
-        stream.map(_.iterator().asScala.slice(fk.start.toInt, fk.end.toInt))
-          .getOrElse(Iterator.empty)
+        stream.map { s =>
+          val it = s.iterator().asScala
+          var skipped = 0L
+          while (skipped < fk.start && it.hasNext) { it.next(); skipped += 1 }
+          new Iterator[String] {
+            private var remaining = fk.end - fk.start
+            override def hasNext: Boolean = remaining > 0 && it.hasNext
+            override def next(): String = { remaining -= 1; it.next() }
+          }
+        }.getOrElse(Iterator.empty)
       private var row: InternalRow = _
       override def next(): Boolean =
         if (!lines.hasNext) false
         else {
           val parts = lines.next().split(",", 4)
           val key = if (parts(1).isEmpty) null else dec.decode(parts(1))
+          // empty value field = tombstone (value is nullable in the
+          // spark-sql-kafka envelope)
+          val value = if (parts(2).isEmpty) null else dec.decode(parts(2))
           row = new GenericInternalRow(Array[Any](
-            key, dec.decode(parts(2)), UTF8String.fromString(fk.topic),
+            key, value, UTF8String.fromString(fk.topic),
             fk.partition, parts(0).toLong, parts(3).toLong * 1000L))
           true
         }
