@@ -132,4 +132,29 @@ object WalmartOrderSchema {
        |  PRIMARY KEY (`purchaseOrderId`, `sku`)
        |) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_unicode_ci""".stripMargin
   }
+
+  /** ANSI-dialect DDL for the same table (Derby/Postgres/standard):
+    * no backticks or engine clauses, DATETIME→TIMESTAMP, TEXT→wide
+    * VARCHAR, explicit NOT NULL on the primary-key columns. Feeds the
+    * config-driven bootstrap (graft.tools.DbBootstrap) on engines
+    * other than the reference's MySQL. */
+  def ansiDdl(schema: String = "ods", table: String = "walmart_order"): String = {
+    val typed = outputColumns.map {
+      case c @ "purchaseOrderId" => s"  $c BIGINT NOT NULL"
+      case c @ "sku" => s"  $c VARCHAR(${varcharLimits("sku")}) NOT NULL"
+      case c @ ("customerOrderId" | "orderDate" |
+                "estimatedDeliveryDate" | "estimatedShipDate" | "statusDate" |
+                "shipDateTime") => s"  $c BIGINT"
+      case c @ ("lineNumber" | "quantity" | "statusQuantity") => s"  $c INTEGER"
+      case c @ ("chargeAmount" | "taxAmount") => s"  $c DECIMAL(10,2)"
+      case c @ "productName" => s"  $c VARCHAR(2000)"
+      case c if c.endsWith("_formatted") => s"  $c TIMESTAMP"
+      case c @ ("request_time" | "load_time") => s"  $c TIMESTAMP"
+      case c => s"  $c VARCHAR(${varcharLimits.getOrElse(c, 100)})"
+    }
+    s"""CREATE TABLE $schema.$table (
+       |${typed.mkString(",\n")},
+       |  PRIMARY KEY (purchaseOrderId, sku)
+       |)""".stripMargin
+  }
 }

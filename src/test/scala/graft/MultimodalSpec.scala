@@ -69,4 +69,51 @@ class JdbcAdminSpec extends SparkSpec {
     assert(df.count() == 2)
     assert(df.columns.map(_.toLowerCase).toSeq == Seq("id", "name"))
   }
+
+  test("config-driven bootstrap creates the walmart schema idempotently and verifies") {
+    val admin = new JdbcAdmin("jdbc:derby:memory:graftboot;create=true")
+    val cfg = GraftConfig.parse(
+      """init:
+        |  schemas: ods
+        |  tables: ods.walmart_order
+        |""".stripMargin)
+    val boot = new graft.tools.DbBootstrap(admin,
+      ddlFor = Map("ods.walmart_order" ->
+        graft.model.WalmartOrderSchema.ansiDdl("ods", "walmart_order")))
+    val r1 = boot.run(cfg)
+    assert(r1.schemasCreated == Seq("ods") && r1.schemasExisting.isEmpty)
+    assert(r1.tablesCreated == Seq("ods.walmart_order") && r1.tablesExisting.isEmpty)
+    assert(r1.allVerified, s"verification failed: ${r1.verified}")
+    // all 52 output columns landed
+    assert(admin.columns("WALMART_ORDER").size ==
+      graft.model.WalmartOrderSchema.outputColumns.size)
+    // second run: idempotent — everything reported as already existing
+    val r2 = boot.run(cfg)
+    assert(r2.schemasCreated.isEmpty && r2.schemasExisting == Seq("ods"))
+    assert(r2.tablesCreated.isEmpty && r2.tablesExisting == Seq("ods.walmart_order"))
+    assert(r2.allVerified)
+    assert(admin.countRows("ods.walmart_order") == 0)
+  }
+
+  test("bootstrap resolves DDL from a sql dir by the reference's naming conventions") {
+    val admin = new JdbcAdmin("jdbc:derby:memory:graftboot2;create=true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqldir")
+    java.nio.file.Files.writeString(dir.resolve("create_mini.sql"),
+      """-- mini table (comment-stripping + multi-statement split)
+        |CREATE TABLE webapp.mini (
+        |  id INT NOT NULL PRIMARY KEY, -- trailing comment
+        |  name VARCHAR(20));
+        |CREATE INDEX mini_name ON webapp.mini(name);
+        |""".stripMargin)
+    val boot = new graft.tools.DbBootstrap(admin, sqlDir = Some(dir.toString))
+    // the reference honors its own 'scheam' typo key — so do we
+    val cfg = GraftConfig.parse("init:\n  scheam: webapp\n  tables: webapp.mini\n")
+    val r = boot.run(cfg)
+    assert(r.schemasCreated == Seq("webapp"))
+    assert(r.tablesCreated == Seq("webapp.mini") && r.allVerified)
+    // unknown table with no DDL source fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      boot.run(graft.tools.BootstrapPlan(Nil, Seq("webapp.missing")))
+    }
+  }
 }
