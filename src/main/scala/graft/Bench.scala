@@ -72,8 +72,10 @@ object Bench {
     val stageDir = java.nio.file.Files.createTempDirectory("graft_bench_stage").toString
     val results = graft.operators.DedupOps.withStagingRoot(Some(stageDir)) {
       val t0 = System.nanoTime()
-      try graft.operators.DedupOps.stageSignatures(spark, sfDir)
-      catch { case e: Throwable => errors("stage_dedup") = e.toString.take(160) }
+      try {
+        graft.operators.DedupOps.stageSignatures(spark, sfDir)
+        graft.operators.EmbeddingOps.stageIvf(spark, sfDir)
+      } catch { case e: Throwable => errors("stage_dedup") = e.toString.take(160) }
       val stageSecs = (System.nanoTime() - t0) / 1e9
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> measure(name)(fn(spark, sfDir).count())

@@ -65,54 +65,23 @@ object DedupOps {
   val hammingThreshold = 10
 
   // ---------------------------------------------------------------- staging
-
-  /** Bump when shingle/signature semantics change — keys the staging
-    * directory so stale rounds can never be read back. */
-  private val stageVersion = "v1"
-
-  /** Thread-local staging override: `Some(rootOpt)` wins over the
-    * sys-prop (rootOpt None = staging off). Lets concurrent library
-    * consumers use different staging roots without racing on the
-    * global property (graft.Bench uses this for its two passes). */
-  private val overrideRoot =
-    new scala.util.DynamicVariable[Option[Option[String]]](None)
+  // shared read-through mechanics (incl. the source-content
+  // fingerprint in the staging key) live in graft.operators.Staging
 
   /** Run `body` with an explicit staging root (`Some(dir)`) or staging
-    * disabled (`None`), scoped to the current thread. */
+    * disabled (`None`), scoped to the current thread — concurrent
+    * library consumers must not race on the global sys-prop. */
   def withStagingRoot[T](root: Option[String])(body: => T): T =
-    overrideRoot.withValue(Some(root))(body)
+    Staging.withRoot(root)(body)
 
-  private def stagingRoot: Option[String] =
-    overrideRoot.value.getOrElse(
-      sys.props.get("graft.stage.dir") match {
-        case Some("off") | Some("") => None
-        case Some(dir)              => Some(dir)
-        case None => Some(System.getProperty("java.io.tmpdir") + "/graft-stage")
-      })
+  private def stagingRoot: Option[String] = Staging.root
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def tableDir(root: String, sfDir: String, table: String): String =
+    Staging.tableDir(root, sfDir, table)
 
-  private def tableDir(root: String, sfDir: String, table: String): String = {
-    val key = md5Hex(new java.io.File(sfDir).getCanonicalPath).take(12)
-    s"$root/$stageVersion/$key/$table"
-  }
-
-  /** Read-through materialization: first caller computes + writes the
-    * parquet staging table, everyone after scans it. */
   private def staged(spark: SparkSession, sfDir: String, table: String)
                     (compute: => DataFrame): DataFrame =
-    stagingRoot match {
-      case None => compute
-      case Some(root) =>
-        val dir = tableDir(root, sfDir, table)
-        this.synchronized {
-          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
-            compute.write.mode("overwrite").parquet(dir)
-        }
-        spark.read.parquet(dir)
-    }
+    Staging.readThrough(spark, sfDir, table)(compute)
 
   /** Force-materialize the staged dedup tables (shingles + minhash
     * signatures + simhash) for `sfDir`; returns the staging paths (or

@@ -251,6 +251,53 @@ object EmbeddingOps {
     cents
   }
 
+  // ------------------------------------------------------- IVF model staging
+
+  /** Staged IVF model (the production shape: train ONCE, stage the
+    * model, serve many queries): centroids as a k-row parquet table,
+    * the inverted-list assignment as a corpus-sized one. Read-through
+    * via [[Staging]] — the first query trains and writes, every later
+    * query pays only centroid load (k×dim values) + probe. Staging
+    * off → the pre-round-3 behavior (train per call). */
+  private def stagedCentroids(spark: SparkSession, sfDir: String,
+                              k: Int, iters: Int): Seq[(Int, Array[Double])] =
+    Staging.root match {
+      case None => kmeansCentroids(spark, sfDir, k, iters)
+      case _ =>
+        import spark.implicits._
+        val df = Staging.readThrough(spark, sfDir, s"ivf_cent_k${k}_i$iters") {
+          kmeansCentroids(spark, sfDir, k, iters)
+            .map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cent_id", "cv")
+        }
+        df.collect()
+          .map(r => (r.getAs[Int]("cent_id"), r.getAs[Seq[Double]]("cv").toArray))
+          .toSeq.sortBy(_._1)
+    }
+
+  private def stagedAssignment(spark: SparkSession, sfDir: String,
+                               cents: Seq[(Int, Array[Double])],
+                               k: Int, iters: Int): DataFrame =
+    Staging.root match {
+      case None => ivfAssign(spark, sfDir, cents)
+      case _ => Staging.readThrough(spark, sfDir, s"ivf_assign_k${k}_i$iters")(
+        ivfAssign(spark, sfDir, cents))
+    }
+
+  /** Force-materialize the IVF model tables for `sfDir`; returns the
+    * staged paths (Nil when staging is off). Bench calls this up front
+    * so one-time training cost is attributed separately from query
+    * cost, mirroring DedupOps.stageSignatures. */
+  def stageIvf(spark: SparkSession, sfDir: String,
+               k: Int = numCentroids, iters: Int = kmeansIters): Seq[String] =
+    Staging.root match {
+      case None => Nil
+      case Some(root) =>
+        val cents = stagedCentroids(spark, sfDir, k, iters)
+        stagedAssignment(spark, sfDir, cents, k, iters)
+        Seq(s"ivf_cent_k${k}_i$iters", s"ivf_assign_k${k}_i$iters")
+          .map(Staging.tableDir(root, sfDir, _))
+    }
+
   /** Corpus → (vec_id, v, nrm, cent_id) with the trained centroids;
     * pure narrow map, no Exchange anywhere in the plan. */
   def ivfAssign(spark: SparkSession, sfDir: String,
@@ -265,8 +312,8 @@ object EmbeddingOps {
   def ivfAnn(spark: SparkSession, sfDir: String,
              k: Int, iters: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = kmeansCentroids(spark, sfDir, k, iters)
-    val assigned = ivfAssign(spark, sfDir, cents)
+    val cents = stagedCentroids(spark, sfDir, k, iters)
+    val assigned = stagedAssignment(spark, sfDir, cents, k, iters)
     val qs = assigned.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(probeCentroids(cents, nprobe)).as("qcent"))

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Read-through parquet staging shared by the dedup and ANN stacks:
+  * the first caller computes and writes a staging table, everyone
+  * after scans it (one materialization, column-pruned reads — the
+  * multi-job topology a 100 TB pipeline uses between stages).
+  *
+  * Root resolution: a thread-local override
+  * ([[Staging.withRoot]] — lets concurrent consumers use different
+  * roots without racing on globals), else the `graft.stage.dir`
+  * sys-prop (`off`/empty disables), else `$tmpdir/graft-stage`.
+  *
+  * Staleness: the staging key is
+  * `md5(canonical sfDir path + content fingerprint)`, where the
+  * fingerprint hashes the sorted (name, size, mtime) of the dir's
+  * parquet entries. Regenerating a dataset in place therefore CHANGES
+  * the key — stale staged tables can never be read back against new
+  * source data (round-2 ADVICE).
+  */
+private[graft] object Staging {
+
+  /** Bump when any staged-table semantics change. */
+  private val stageVersion = "v1"
+
+  private val overrideRoot =
+    new scala.util.DynamicVariable[Option[Option[String]]](None)
+
+  /** Run `body` with an explicit staging root (`Some(dir)`) or staging
+    * disabled (`None`), scoped to the current thread. */
+  def withRoot[T](root: Option[String])(body: => T): T =
+    overrideRoot.withValue(Some(root))(body)
+
+  def root: Option[String] =
+    overrideRoot.value.getOrElse(
+      sys.props.get("graft.stage.dir") match {
+        case Some("off") | Some("") => None
+        case Some(dir)              => Some(dir)
+        case None => Some(System.getProperty("java.io.tmpdir") + "/graft-stage")
+      })
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Sorted (name, size, mtime) of the source dir's parquet entries
+    * (files, or one level of spark-written directories). A manifest
+    * stat — O(#tables), not O(data). */
+  private[operators] def fingerprint(sfDir: String): String = {
+    def entry(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
+          .mkString(f.getName + "[", ",", "]")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    val entries = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.contains(".parquet"))
+      .sortBy(_.getName)
+      .map(entry)
+    md5Hex(entries.mkString("|"))
+  }
+
+  def tableDir(root: String, sfDir: String, table: String): String = {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val key = md5Hex(canonical + "#" + fingerprint(sfDir)).take(12)
+    s"$root/$stageVersion/$key/$table"
+  }
+
+  /** Read-through materialization: first caller computes + writes the
+    * parquet staging table, everyone after scans it. */
+  def readThrough(spark: SparkSession, sfDir: String, table: String)
+                 (compute: => DataFrame): DataFrame =
+    root match {
+      case None => compute
+      case Some(r) =>
+        val dir = tableDir(r, sfDir, table)
+        this.synchronized {
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+            compute.write.mode("overwrite").parquet(dir)
+        }
+        spark.read.parquet(dir)
+    }
+}

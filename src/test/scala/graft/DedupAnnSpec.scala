@@ -103,6 +103,48 @@ class DedupAnnSpec extends SparkSpec {
     intercept[IllegalArgumentException] { EmbeddingOps.lshBuckets(spark, sf, 31) }
   }
 
+  test("IVF model stages once: later queries reuse centroids + assignment") {
+    val dirs = EmbeddingOps.stageIvf(spark, sf)
+    assert(dirs.size == 2, "centroids + assignment tables expected")
+    dirs.foreach(d => assert(Files.exists(Paths.get(d, "_SUCCESS")), s"missing $d"))
+    val before = dirs.map(d => Files.getLastModifiedTime(Paths.get(d, "_SUCCESS")))
+    // an IVF query (incl. nprobe>1 recall) must NOT retrain or rewrite
+    val base = EmbeddingOps.ivfAnn(spark, sf).collect()
+    val wide = EmbeddingOps.ivfAnn(spark, sf,
+      EmbeddingOps.numCentroids, EmbeddingOps.kmeansIters, nprobe = 2).collect()
+    assert(base.nonEmpty && wide.nonEmpty)
+    val after = dirs.map(d => Files.getLastModifiedTime(Paths.get(d, "_SUCCESS")))
+    assert(before == after, "staged IVF model was rewritten by a query")
+    // and the staged model answers identically to a fresh in-memory train
+    val unstaged = graft.operators.DedupOps.withStagingRoot(None) {
+      EmbeddingOps.ivfAnn(spark, sf).collect()
+    }
+    assert(base.toSeq == unstaged.toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("staging key fingerprints source content: regenerated data is never served stale") {
+    import java.nio.file.StandardCopyOption
+    val work = Files.createTempDirectory("graft_fp_src")
+    for (t <- Seq("documents", "embeddings"))
+      java.nio.file.Files.copy(Paths.get(s"$sf/$t.parquet"),
+        work.resolve(s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stageRoot = Files.createTempDirectory("graft_fp_stage").toString
+    val (key1, sig1) = DedupOps.withStagingRoot(Some(stageRoot)) {
+      val dirs = DedupOps.stageSignatures(spark, work.toString)
+      (dirs.head, DedupOps.minhashSignatures(spark, work.toString).collect().length)
+    }
+    assert(sig1 > 0 && Files.exists(Paths.get(key1, "_SUCCESS")))
+    // "regenerate" the source in place: same path, new bytes/mtime
+    Files.setLastModifiedTime(work.resolve("documents.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    val key2 = DedupOps.withStagingRoot(Some(stageRoot)) {
+      DedupOps.stageSignatures(spark, work.toString).head
+    }
+    assert(key2 != key1,
+      s"staging key must change when source content changes: $key1 vs $key2")
+  }
+
   // ------------------------------------------------------- round-3 skew guard
 
   import graft.operators.BandGuard
