@@ -398,15 +398,29 @@ object EmbeddingOps {
           col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
           lit(1.0).as("cos")))
       else {
-        val wg = Window.partitionBy("v")
-        val tagged = vs
-          .withColumn("__gmin", min(col("vec_id")).over(wg))
-          .withColumn("__gsz", count(lit(1)).over(wg))
+        // The collapse window is keyed by an 8-byte xxhash64 fingerprint
+        // of the vector, not the raw array<double>: a 64-dim vector is
+        // ~512 bytes of shuffle key per row plus array hashing/compare
+        // in the exchange. Exactness survives because each row's vector
+        // is compared to its fingerprint group's representative (the
+        // min-vec_id row's vector): on a 64-bit collision the foreign
+        // rows simply fail that compare, stay un-collapsed, and fall
+        // through to the bucket cap (guard stage 2).
+        val wfp = Window.partitionBy("__fp")
+        val rep = vs
+          .withColumn("__fp", xxhash64(col("v")))
+          .withColumn("__gmin", min(col("vec_id")).over(wfp))
+          .withColumn("__repv", min_by(col("v"), col("vec_id")).over(wfp))
+        val tagged = rep
+          .withColumn("__gsz",
+            sum(when(col("v") === col("__repv"), 1L).otherwise(0L)).over(wfp))
+          .withColumn("__dup",
+            col("v") === col("__repv") && col("__gsz") > g.maxGroupAllPairs)
         (tagged
-           .where(col("__gsz") <= g.maxGroupAllPairs || col("vec_id") === col("__gmin"))
+           .where(!col("__dup") || col("vec_id") === col("__gmin"))
            .select("vec_id", "v", "nrm"),
          tagged
-           .where(col("__gsz") > g.maxGroupAllPairs && col("vec_id") =!= col("__gmin"))
+           .where(col("__dup") && col("vec_id") =!= col("__gmin"))
            .select(col("__gmin").as("vec_a"), col("vec_id").as("vec_b"),
              lit(1.0).as("cos")))
       }
