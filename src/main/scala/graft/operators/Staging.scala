@@ -69,17 +69,55 @@ private[graft] object Staging {
   }
 
   /** Read-through materialization: first caller computes + writes the
-    * parquet staging table, everyone after scans it. */
+    * parquet staging table, everyone after scans it.
+    *
+    * Cross-process safe: the table is written to a unique `.tmp-*`
+    * sibling and promoted to its final name with one atomic rename, so
+    * a reader can never observe a half-written table under the final
+    * name — any directory that exists IS complete. Two drivers sharing
+    * a staging root race only on the rename; the loser discards its
+    * temp copy and reads the winner's (identical) table. The JVM-local
+    * lock remains purely a duplicate-work saver within one driver. */
   def readThrough(spark: SparkSession, sfDir: String, table: String)
                  (compute: => DataFrame): DataFrame =
     root match {
       case None => compute
       case Some(r) =>
         val dir = tableDir(r, sfDir, table)
+        val dst = java.nio.file.Paths.get(dir)
         this.synchronized {
-          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
-            compute.write.mode("overwrite").parquet(dir)
+          if (!java.nio.file.Files.exists(dst.resolve("_SUCCESS"))) {
+            val tmp = java.nio.file.Paths.get(
+              dir + ".tmp-" + ProcessHandle.current().pid() + "-" +
+                java.util.UUID.randomUUID().toString.take(8))
+            compute.write.mode("overwrite").parquet(tmp.toString)
+            promote(tmp, dst)
+          }
         }
         spark.read.parquet(dir)
     }
+
+  /** Atomically promote a fully-written temp table to its final name.
+    * If a concurrent writer (same or another process) promoted a
+    * complete table first, ours is discarded; a leftover partial at the
+    * final name (pre-atomic-rename crash debris) is replaced. */
+  private[graft] def promote(tmp: java.nio.file.Path,
+                             dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    if (Files.exists(dst) && !Files.exists(dst.resolve("_SUCCESS")))
+      deleteRecursively(dst)
+    try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        if (Files.exists(dst.resolve("_SUCCESS"))) deleteRecursively(tmp)
+        else throw e
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val f = p.toFile
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(c => deleteRecursively(c.toPath))
+    f.delete(): Unit
+  }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.Staging
+
+/** Cross-process safety contract of the staging promote path: a table
+  * under its final name is always complete, racing writers converge. */
+class StagingSpec extends SparkSpec {
+
+  private def mkTable(dir: String, marker: String, success: Boolean): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, marker), "x".getBytes)
+    if (success) Files.write(Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+  }
+
+  test("promote discards the loser when a complete winner already exists") {
+    val base = Files.createTempDirectory("graft_stage_spec").toString
+    val dst = s"$base/t"
+    mkTable(dst, "winner", success = true)
+    val tmp = s"$base/t.tmp-loser"
+    mkTable(tmp, "loser", success = true)
+    Staging.promote(Paths.get(tmp), Paths.get(dst))
+    assert(Files.exists(Paths.get(dst, "winner")), "winner table must be untouched")
+    assert(!Files.exists(Paths.get(dst, "loser")))
+    assert(!Files.exists(Paths.get(tmp)), "loser temp dir must be cleaned up")
+  }
+
+  test("promote replaces crash debris (a partial table with no _SUCCESS)") {
+    val base = Files.createTempDirectory("graft_stage_spec").toString
+    val dst = s"$base/t"
+    mkTable(dst, "partial", success = false)
+    val tmp = s"$base/t.tmp-new"
+    mkTable(tmp, "fresh", success = true)
+    Staging.promote(Paths.get(tmp), Paths.get(dst))
+    assert(Files.exists(Paths.get(dst, "_SUCCESS")))
+    assert(Files.exists(Paths.get(dst, "fresh")))
+    assert(!Files.exists(Paths.get(dst, "partial")))
+  }
+
+  test("racing promoters (simulated cross-process, no JVM lock) converge to one complete table") {
+    val base = Files.createTempDirectory("graft_stage_spec").toString
+    val dst = Paths.get(s"$base/t")
+    val races = (1 to 8).map { i =>
+      val tmp = s"$base/t.tmp-$i"
+      mkTable(tmp, s"writer$i", success = true)
+      new Thread(() => Staging.promote(Paths.get(tmp), dst))
+    }
+    races.foreach(_.start()); races.foreach(_.join())
+    assert(Files.exists(dst.resolve("_SUCCESS")), "exactly one writer must have promoted")
+    val markers = dst.toFile.listFiles().map(_.getName).filter(_.startsWith("writer"))
+    assert(markers.length == 1, s"table must come from a single writer, saw ${markers.toSeq}")
+    val leftovers = Paths.get(base).toFile.listFiles().map(_.getName).filter(_.contains(".tmp-"))
+    assert(leftovers.isEmpty, s"losing temp dirs must be cleaned up, saw ${leftovers.toSeq}")
+  }
+
+  test("readThrough never leaves temp dirs and serves a complete table") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_stage_spec").toString
+    val out = Staging.withRoot(Some(root)) {
+      Staging.readThrough(spark, sf, "spec_probe") {
+        spark.range(100).select(col("id"), (col("id") * 2).as("d"))
+      }.count()
+    }
+    assert(out == 100)
+    val tableDir = Paths.get(Staging.tableDir(root, sf, "spec_probe"))
+    assert(Files.exists(tableDir.resolve("_SUCCESS")))
+    val tmps = tableDir.getParent.toFile.listFiles().map(_.getName).filter(_.contains(".tmp-"))
+    assert(tmps.isEmpty, s"no temp debris expected, saw ${tmps.toSeq}")
+  }
+}
