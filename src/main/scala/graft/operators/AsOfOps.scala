@@ -47,6 +47,8 @@ object AsOfOps {
     val payloadCols = right.columns.filterNot(c => c == keyCol || c == rightTsCol)
     val collisions = payloadCols.toSet intersect left.columns.toSet
     require(collisions.isEmpty, s"right payload collides with left columns: $collisions")
+    require(!left.columns.contains(rightTsCol),
+      s"rightTsCol '$rightTsCol' collides with a left column; alias it on the right side first")
 
     // at equal ts the right row must sort BEFORE the left row to be
     // visible (>= semantics); after it for strict <

@@ -80,8 +80,13 @@ class DbBootstrap(admin: JdbcAdmin, sqlDir: Option[String] = None,
   /** Post-create verification: the table answers a metadata or count
     * probe (init_database_env.py table_exists, :204-213). */
   private def tableVerified(qualified: String): Boolean = {
-    val t = qualified.split("\\.", 2).last
-    admin.columns(t).nonEmpty || admin.columns(t.toUpperCase).nonEmpty ||
+    val parts = qualified.split("\\.", 2)
+    val (schema, t) =
+      if (parts.length == 2) (Some(parts(0)), parts(1)) else (None, parts(0))
+    // metadata probe scoped to the table's own schema — a same-named
+    // table elsewhere must not vacuously verify this one
+    admin.columns(schema, t).nonEmpty ||
+      admin.columns(schema.map(_.toUpperCase), t.toUpperCase).nonEmpty ||
       (try { admin.countRows(qualified) >= 0L }
        catch { case _: java.sql.SQLException => false })
   }

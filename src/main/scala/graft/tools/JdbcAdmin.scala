@@ -98,12 +98,17 @@ class JdbcAdmin(url: String, props: Map[String, String] = Map.empty,
 
   /** Table columns via JDBC metadata (DESCRIBE analogue,
     * unified_mysql.py introspection). */
-  def columns(tableName: String): Seq[(String, String)] = withConnection { c =>
-    val rs = c.getMetaData.getColumns(null, null, tableName, null)
-    val b = scala.collection.mutable.ListBuffer.empty[(String, String)]
-    while (rs.next()) b += rs.getString("COLUMN_NAME") -> rs.getString("TYPE_NAME")
-    b.toList
-  }
+  def columns(tableName: String): Seq[(String, String)] = columns(None, tableName)
+
+  /** Column metadata, optionally restricted to one schema so a
+    * same-named table in another schema cannot satisfy the probe. */
+  def columns(schema: Option[String], tableName: String): Seq[(String, String)] =
+    withConnection { c =>
+      val rs = c.getMetaData.getColumns(null, schema.orNull, tableName, null)
+      val b = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      while (rs.next()) b += rs.getString("COLUMN_NAME") -> rs.getString("TYPE_NAME")
+      b.toList
+    }
 
   def tableExists(tableName: String): Boolean = columns(tableName).nonEmpty
 

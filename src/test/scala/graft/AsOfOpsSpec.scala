@@ -51,6 +51,15 @@ class AsOfOpsSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("rightTsCol colliding with a left column fails fast") {
+    val e = intercept[IllegalArgumentException] {
+      AsOfOps.asOfJoin(left, right.withColumnRenamed("ts", "click_ts"),
+        "user_id", "click_ts", "click_ts")
+    }
+    assert(e.getMessage.contains("click_ts"))
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("range-bin join assigns facts to containing bins via broadcast") {
     val bins = Seq((1, 0.0, 10.0), (2, 10.0, 20.0)).toDF("bin_id", "lo", "hi")
     val facts = Seq(0.0, 5.0, 9.99, 10.0, 19.0, 25.0).toDF("v")

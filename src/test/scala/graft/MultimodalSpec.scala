@@ -95,6 +95,19 @@ class JdbcAdminSpec extends SparkSpec {
     assert(admin.countRows("ods.walmart_order") == 0)
   }
 
+  test("verification is schema-scoped: a same-named decoy in another schema cannot verify") {
+    val admin = new JdbcAdmin("jdbc:derby:memory:graftboot3;create=true")
+    admin.executeIdempotent("CREATE SCHEMA decoys")
+    admin.execute("CREATE TABLE decoys.mini (id INT)")
+    // DDL deliberately creates the WRONG table, so target.mini never
+    // exists — only the decoy could (wrongly) satisfy an unscoped probe
+    val boot = new graft.tools.DbBootstrap(admin,
+      ddlFor = Map("target.mini" -> "CREATE TABLE decoys.other (id INT)"))
+    val r = boot.run(graft.tools.BootstrapPlan(Seq("target"), Seq("target.mini")))
+    assert(r.verified("target.mini") == false,
+      s"decoys.mini must not verify target.mini: ${r.verified}")
+  }
+
   test("bootstrap resolves DDL from a sql dir by the reference's naming conventions") {
     val admin = new JdbcAdmin("jdbc:derby:memory:graftboot2;create=true")
     val dir = java.nio.file.Files.createTempDirectory("graft_sqldir")
