@@ -74,6 +74,9 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         graft.operators.DedupOps.stageSignatures(spark, sfDir)
+        // production-recall preset shares the shingle table, adds sig_h128
+        graft.operators.DedupOps.stageSignatures(spark, sfDir,
+          graft.operators.DedupOps.scaleParams)
         graft.operators.EmbeddingOps.stageIvf(spark, sfDir)
       } catch { case e: Throwable => errors("stage_dedup") = e.toString.take(160) }
       val stageSecs = (System.nanoTime() - t0) / 1e9

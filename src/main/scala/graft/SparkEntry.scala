@@ -98,6 +98,12 @@ object SparkEntry {
     // and broadcast range-bin join
     "q40_asof_join" -> graft.operators.AsOfOps.asOfQuery _,
     "q41_range_bin_join" -> graft.operators.AsOfOps.rangeBinQuery _,
+    // dedup at the production-recall preset (128 hashes / 16 bands,
+    // s-curve threshold ~0.71): the same pipeline hash-verified at the
+    // parameters a 100 TB run would use, not just the test-fast 8/4
+    "q42_minhash_scale" -> ((s, d) => DedupOps.minhashSignatures(s, d, DedupOps.scaleParams)),
+    "q43_lsh_scale" -> ((s, d) => DedupOps.lshCandidates(s, d, DedupOps.scaleParams)),
+    "q44_jaccard_scale" -> ((s, d) => DedupOps.jaccardVerify(s, d, DedupOps.scaleParams)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -144,5 +150,8 @@ object SparkEntry {
     "q39_consecutive_pairs" -> graft.streaming.OrderAnomalyDetector.consecutiveQuerySql,
     "q40_asof_join" -> graft.operators.AsOfOps.asOfQuerySql,
     "q41_range_bin_join" -> graft.operators.AsOfOps.rangeBinQuerySql,
+    "q42_minhash_scale" -> DedupOps.minhashSignaturesSqlFor(DedupOps.scaleParams),
+    "q43_lsh_scale" -> DedupOps.lshCandidatesSqlFor(DedupOps.scaleParams),
+    "q44_jaccard_scale" -> DedupOps.jaccardVerifySqlFor(DedupOps.scaleParams),
   )
 }

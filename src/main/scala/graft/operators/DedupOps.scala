@@ -162,8 +162,8 @@ object DedupOps {
     s"""CASE WHEN len($duckToks) < 2 THEN []::VARCHAR[]
        |ELSE list_distinct(list_transform(generate_series(1, len($duckToks) - 1),
        |  i -> $duckToks[i] || ' ' || $duckToks[i + 1])) END""".stripMargin
-  private val duckSigCte: String = {
-    val mins = (0 until numHashes).map { i =>
+  private def duckSigCte(p: MinHashParams): String = {
+    val mins = (0 until p.numHashes).map { i =>
       s"min((${coeffA(i)} * h + ${coeffB(i)}) % $P) AS mh$i"
     }.mkString(", ")
     s"""WITH bg AS (
@@ -174,10 +174,12 @@ object DedupOps {
        |  SELECT doc_id, $mins FROM hh GROUP BY doc_id)""".stripMargin
   }
 
-  val minhashSignaturesSql: String = {
-    val cols = (0 until numHashes).map(i => s"mh$i").mkString(", ")
-    s"$duckSigCte\nSELECT doc_id, $cols FROM sig ORDER BY doc_id"
+  def minhashSignaturesSqlFor(p: MinHashParams): String = {
+    val cols = (0 until p.numHashes).map(i => s"mh$i").mkString(", ")
+    s"${duckSigCte(p)}\nSELECT doc_id, $cols FROM sig ORDER BY doc_id"
   }
+
+  val minhashSignaturesSql: String = minhashSignaturesSqlFor(defaultParams)
 
   // ----------------------------------------------------------- LSH banding
 
@@ -254,16 +256,26 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val duckBandsCte: String = {
-    val p = defaultParams
+  /** Sum as a balanced parenthesis tree: a flat left-nested `+` chain
+    * of 128 terms exceeds DuckDB's binder recursion limit (128). */
+  private def balancedSum(terms: Seq[String]): String =
+    if (terms.size == 1) terms.head
+    else {
+      val (l, r) = terms.splitAt(terms.size / 2)
+      s"(${balancedSum(l)} + ${balancedSum(r)})"
+    }
+
+  private def matchesExpr(p: MinHashParams): String =
+    balancedSum((0 until p.numHashes)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END"))
+
+  private def duckBandsCte(p: MinHashParams): String = {
     val bands = (0 until p.numBands).map { b =>
       val mhs = (b * p.rowsPerBand until (b + 1) * p.rowsPerBand)
         .map(i => s", '_', mh$i").mkString
       s"SELECT doc_id, concat($b$mhs) AS bk FROM sig"
     }.mkString(" UNION ALL ")
-    val matches = (0 until numHashes)
-      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
+    val matches = matchesExpr(p)
     s""",bands AS ($bands),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -271,20 +283,20 @@ object DedupOps {
        |vcand AS (
        |  SELECT doc_a, doc_b
        |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
-       |  WHERE CAST($matches AS DOUBLE) / $numHashes >= $estThreshold)""".stripMargin
+       |  WHERE CAST($matches AS DOUBLE) / ${p.numHashes} >= $estThreshold)""".stripMargin
   }
 
-  val lshCandidatesSql: String = {
-    val matches = (0 until numHashes)
-      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    s"""$duckSigCte
-       |$duckBandsCte
-       |SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / $numHashes AS est_jaccard
+  def lshCandidatesSqlFor(p: MinHashParams): String = {
+    val matches = matchesExpr(p)
+    s"""${duckSigCte(p)}
+       |${duckBandsCte(p)}
+       |SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / ${p.numHashes} AS est_jaccard
        |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
-       |WHERE CAST($matches AS DOUBLE) / $numHashes >= $estThreshold
+       |WHERE CAST($matches AS DOUBLE) / ${p.numHashes} >= $estThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  val lshCandidatesSql: String = lshCandidatesSqlFor(defaultParams)
 
   // ------------------------------------------------------- exact Jaccard
 
@@ -315,9 +327,9 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  val jaccardVerifySql: String =
-    s"""$duckSigCte
-       |$duckBandsCte,
+  def jaccardVerifySqlFor(p: MinHashParams): String =
+    s"""${duckSigCte(p)}
+       |${duckBandsCte(p)},
        |sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS i
@@ -329,6 +341,8 @@ object DedupOps {
        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= $jaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  val jaccardVerifySql: String = jaccardVerifySqlFor(defaultParams)
 
   // ---------------------------------------------------------- keep-list
 
@@ -351,8 +365,8 @@ object DedupOps {
   }
 
   val dedupKeepListSql: String =
-    s"""$duckSigCte
-       |$duckBandsCte,
+    s"""${duckSigCte(defaultParams)}
+       |${duckBandsCte(defaultParams)},
        |sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS i

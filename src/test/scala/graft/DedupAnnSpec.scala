@@ -235,4 +235,24 @@ class DedupAnnSpec extends SparkSpec {
     assert(ge == ue)
     spark.catalog.clearCache()
   }
+
+  test("production preset (128/16) is oracle-registered and guard-invariant") {
+    // the driver's DuckDB gate hash-verifies q42-q44 at MinHashParams(128, 16);
+    // here we pin the registration + parameterized SQL shape and prove the
+    // skew guard changes nothing at the production parameters either
+    val p = DedupOps.scaleParams
+    assert(p.numHashes == 128 && p.numBands == 16)
+    Seq("q42_minhash_scale", "q43_lsh_scale", "q44_jaccard_scale").foreach { q =>
+      assert(SparkEntry.queries.contains(q), s"$q not registered")
+      assert(SparkEntry.oracleSql.contains(q), s"$q has no oracle")
+    }
+    assert(SparkEntry.oracleSql("q42_minhash_scale").contains("mh127"))
+    assert(SparkEntry.oracleSql("q43_lsh_scale").contains("SELECT doc_id, concat(15"))
+    val docs = Tables.documents(spark, sf)
+    val guarded = DedupOps.lshCandidatesOf(docs, p, BandGuard.default).collect().toSeq
+    val unguarded = DedupOps.lshCandidatesOf(docs, p, BandGuard.off).collect().toSeq
+    assert(guarded == unguarded)
+    assert(guarded.nonEmpty, "expected at least one near-dup pair at 128/16 on the test corpus")
+    spark.catalog.clearCache()
+  }
 }
