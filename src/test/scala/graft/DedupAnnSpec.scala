@@ -34,7 +34,7 @@ class DedupAnnSpec extends SparkSpec {
 
   test("staging materializes shared dedup tables once and reuses them") {
     val dirs = DedupOps.stageSignatures(spark, sf)
-    assert(dirs.size == 3, "staging should be on by default in tests")
+    assert(dirs.size == 4, "staging should be on by default in tests")
     dirs.foreach(d => assert(Files.exists(Paths.get(d, "_SUCCESS")), s"missing $d"))
     val before = dirs.map(d => Files.getLastModifiedTime(Paths.get(d, "_SUCCESS")))
     // a query routed through staging must not rewrite the tables
