@@ -32,6 +32,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional comma-separated query-name filter (scaling experiments on
+    // dirs that carry only a table subset); absent = the full suite
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_QUERIES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     val spark = GraftSession.local("graft-bench")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
@@ -61,7 +67,7 @@ object Bench {
     // pass 1: staging OFF — the persist()-fallback baseline for the
     // dedup pipeline queries
     val unstaged = graft.operators.DedupOps.withStagingRoot(None) {
-      stagedNames.map { name =>
+      stagedNames.filter(selected).map { name =>
         name -> measure(s"unstaged_$name")(SparkEntry.queries(name)(spark, sfDir).count())
       }
     }
@@ -80,8 +86,8 @@ object Bench {
         graft.operators.EmbeddingOps.stageIvf(spark, sfDir)
       } catch { case e: Throwable => errors("stage_dedup") = e.toString.take(160) }
       val stageSecs = (System.nanoTime() - t0) / 1e9
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> measure(name)(fn(spark, sfDir).count())
+      SparkEntry.queries.toSeq.filter(kv => selected(kv._1)).sortBy(_._1).map {
+        case (name, fn) => name -> measure(name)(fn(spark, sfDir).count())
       } :+ ("stage_dedup" -> stageSecs)
     }
 

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+
+/** Deterministic scale-up generator for scaling experiments: replicates
+  * the `documents` and `embeddings` tables of a source sf dir K times
+  * with content decorrelated per replica, so pair densities stay
+  * realistic instead of every row gaining K-1 near-duplicates.
+  *
+  *   - documents: replica r > 0 keeps the token multiset but permutes
+  *     token order by `xxhash64(token, r)`, so word-bigram shingle sets
+  *     across replicas are (mostly) disjoint — near-dup structure within
+  *     each replica is preserved, none is manufactured across replicas.
+  *   - embeddings: replica r > 0 flips component signs by
+  *     `xxhash64(i, r) % 2`, which preserves norms exactly while making
+  *     cross-replica cosines ~0.
+  *
+  * No randomness: same (src, k) always produces byte-identical output.
+  * Usage: runMain graft.tools.MakeScaleData <srcSfDir> <dstDir> <k>
+  */
+object MakeScaleData {
+
+  def scaledDocuments(spark: SparkSession, src: String, k: Int): DataFrame = {
+    val docs = Tables.documents(spark, src)
+    (0 until k).map { r =>
+      if (r == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+        .withColumn("text", concat_ws(" ",
+          expr(s"""array_sort(split(text, ' '), (a, b) ->
+                   |  case when xxhash64(a, $r) < xxhash64(b, $r) then -1
+                   |       when xxhash64(a, $r) > xxhash64(b, $r) then 1
+                   |       else 0 end)""".stripMargin)))
+    }.reduce(_ unionByName _)
+  }
+
+  def scaledEmbeddings(spark: SparkSession, src: String, k: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, src)
+    (0 until k).map { r =>
+      if (r == 0) emb
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+        .withColumn("embedding",
+          expr(s"transform(embedding, (x, i) -> " +
+            s"case when pmod(xxhash64(i, $r), 2) = 0 then x else -x end)"))
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: MakeScaleData <srcSfDir> <dstDir> <k>")
+    val Array(src, dst, ks) = args
+    val k = ks.toInt
+    val spark = GraftSession.local("graft-make-scale-data")
+    scaledDocuments(spark, src, k)
+      .repartition(GraftSession.cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    scaledEmbeddings(spark, src, k)
+      .repartition(GraftSession.cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    println(s"[make-scale-data] wrote ${k}x ${src} -> $dst")
+    spark.stop()
+  }
+}
