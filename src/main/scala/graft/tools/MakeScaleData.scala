@@ -10,10 +10,15 @@ import graft.{GraftSession, Tables}
   * with content decorrelated per replica, so pair densities stay
   * realistic instead of every row gaining K-1 near-duplicates.
   *
-  *   - documents: replica r > 0 keeps the token multiset but permutes
-  *     token order by `xxhash64(token, r)`, so word-bigram shingle sets
-  *     across replicas are (mostly) disjoint — near-dup structure within
-  *     each replica is preserved, none is manufactured across replicas.
+  *   - documents: replica r > 0 remaps the vocabulary by suffixing every
+  *     token with the replica id. Bigram shingle sets across replicas are
+  *     exactly disjoint, while within a replica the shingle structure is
+  *     isomorphic to the source — so total near-dup pairs scale exactly
+  *     linearly in K. (An earlier variant permuted token ORDER by a
+  *     per-replica hash of the token value; with the corpus's ~30-word
+  *     vocabulary that sorted every doc into the same global word order
+  *     and manufactured a 289x pair explosion. Useful as an adversarial
+  *     corpus, wrong as a scaling one.)
   *   - embeddings: replica r > 0 flips component signs by
   *     `xxhash64(i, r) % 2`, which preserves norms exactly while making
   *     cross-replica cosines ~0.
@@ -30,10 +35,8 @@ object MakeScaleData {
       else docs
         .withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
         .withColumn("text", concat_ws(" ",
-          expr(s"""array_sort(split(text, ' '), (a, b) ->
-                   |  case when xxhash64(a, $r) < xxhash64(b, $r) then -1
-                   |       when xxhash64(a, $r) > xxhash64(b, $r) then 1
-                   |       else 0 end)""".stripMargin)))
+          expr(s"transform(split(text, ' '), t -> concat(t, '~$r'))")))
+        .withColumn("n_chars", length(col("text")))
     }.reduce(_ unionByName _)
   }
 
