@@ -236,6 +236,21 @@ class DedupAnnSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("staged candidate read plan is a pure scan — no join, no window") {
+    DedupOps.stageSignatures(spark, sf)
+    val plan = DedupOps.lshCandidates(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"staged candidates must not recompute the band join:\n$plan")
+    assert(!plan.contains("Window"), s"staged candidates must not recompute the guard:\n$plan")
+  }
+
+  test("near-dup collapse window shuffles an 8-byte fingerprint, not the raw vector") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = EmbeddingOps.nearDupPairsOf(emb).queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), "collapse key must be the vector fingerprint")
+    assert(!plan.contains("hashpartitioning(v#"),
+      s"no exchange may partition on the raw array column:\n$plan")
+  }
+
   test("production preset (128/16) is oracle-registered and guard-invariant") {
     // the driver's DuckDB gate hash-verifies q42-q44 at MinHashParams(128, 16);
     // here we pin the registration + parameterized SQL shape and prove the
