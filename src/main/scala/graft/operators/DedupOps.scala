@@ -222,6 +222,16 @@ object DedupOps {
 
   private def lshCandidatesFrom(sig: DataFrame, p: MinHashParams, g: BandGuard): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The signature travels as ONE array column from here on: banding,
+    // the guard key, and the match count then run as small codegen loops
+    // instead of p.numHashes unrolled expressions (at 128 hashes the
+    // unrolled form dominated staging time), and the guard's shuffle key
+    // is an 8-byte fingerprint instead of a 128-column row — same
+    // fingerprint-collapse scheme as the embedding near-dup guard:
+    // exactness via compare-to-representative, collisions degrade to
+    // un-collapsed rows that the bucket cap still bounds.
+    val arr = sig.select(col("doc_id"),
+      array((0 until p.numHashes).map(i => col(s"mh$i")): _*).as("__sig"))
     // --- guard stage 1: exact-duplicate collapse before banding -----------
     // Docs sharing a full signature are (estimated-)identical; a group of
     // g identical docs would otherwise contribute g²/2 pairs through EVERY
@@ -229,28 +239,36 @@ object DedupOps {
     // representative and emit a linear (rep, member) star instead.
     val (bandSig, starPairs) =
       if (g.maxGroupAllPairs == Int.MaxValue)
-        (sig, sig.limit(0).select(
+        (arr, arr.limit(0).select(
           col("doc_id").as("doc_a"), col("doc_id").as("doc_b"),
           lit(1.0).as("est_jaccard")))
       else {
-        val mhCols = (0 until p.numHashes).map(i => col(s"mh$i"))
-        val wg = Window.partitionBy(mhCols: _*)
-        val tagged = sig
-          .withColumn("__gmin", min(col("doc_id")).over(wg))
-          .withColumn("__gsz", count(lit(1)).over(wg))
+        val wfp = Window.partitionBy("__fp")
+        val rep = arr
+          .withColumn("__fp", xxhash64(col("__sig")))
+          .withColumn("__gmin", min(col("doc_id")).over(wfp))
+          .withColumn("__repv", min_by(col("__sig"), col("doc_id")).over(wfp))
+        val tagged = rep
+          .withColumn("__gsz",
+            sum(when(col("__sig") === col("__repv"), 1L).otherwise(0L)).over(wfp))
+          .withColumn("__dup",
+            col("__sig") === col("__repv") && col("__gsz") > g.maxGroupAllPairs)
         (tagged
-           .where(col("__gsz") <= g.maxGroupAllPairs || col("doc_id") === col("__gmin"))
-           .select(sig.columns.map(col): _*),
+           .where(!col("__dup") || col("doc_id") === col("__gmin"))
+           .select("doc_id", "__sig"),
          tagged
-           .where(col("__gsz") > g.maxGroupAllPairs && col("doc_id") =!= col("__gmin"))
+           .where(col("__dup") && col("doc_id") =!= col("__gmin"))
            .select(col("__gmin").as("doc_a"), col("doc_id").as("doc_b"),
              lit(1.0).as("est_jaccard")))
       }
-    val bandCols = (0 until p.numBands).map { b =>
-      val mhs = (b * p.rowsPerBand until (b + 1) * p.rowsPerBand).map(i => col(s"mh$i"))
-      concat_ws("_", (lit(b) +: mhs): _*)
-    }
-    val bands0 = bandSig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    val rpb = p.rowsPerBand
+    // band key "b_mh.._mh" — byte-identical to the column-wise concat
+    val bands0 = bandSig.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(0, ${p.numBands - 1}), b -> concat(b, '_',
+           |  concat_ws('_', transform(slice(__sig, b * $rpb + 1, $rpb),
+           |                           e -> cast(e as string)))))""".stripMargin))
+        .as("bk"))
     // --- guard stage 2: per-bucket membership cap --------------------------
     SkewGuard.maybeLogOverflow(bands0, "bk", g.maxBucket, g.logOverflow, "lshCandidates")
     val bands = SkewGuard.capBuckets(bands0, "bk", "doc_id", g.maxBucket)
@@ -258,14 +276,11 @@ object DedupOps {
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sa = sig.columns.filter(_ != "doc_id").foldLeft(sig)((d, c) => d.withColumnRenamed(c, c + "_a"))
-    val sb = sig.columns.filter(_ != "doc_id").foldLeft(sig)((d, c) => d.withColumnRenamed(c, c + "_b"))
-    val matches = (0 until p.numHashes)
-      .map(i => when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1).otherwise(0))
-      .reduce(_ + _)
+    val matches = expr(
+      "aggregate(zip_with(__sig_a, __sig_b, (x, y) -> if(x = y, 1, 0)), 0, (a, e) -> a + e)")
     cand
-      .join(sa.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .join(sb.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .join(arr.select(col("doc_id").as("doc_a"), col("__sig").as("__sig_a")), "doc_a")
+      .join(arr.select(col("doc_id").as("doc_b"), col("__sig").as("__sig_b")), "doc_b")
       .withColumn("est_jaccard", matches.cast("double") / p.numHashes)
       .where(col("est_jaccard") >= estThreshold)
       .select("doc_a", "doc_b", "est_jaccard")
