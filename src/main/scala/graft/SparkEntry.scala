@@ -104,6 +104,10 @@ object SparkEntry {
     "q42_minhash_scale" -> ((s, d) => DedupOps.minhashSignatures(s, d, DedupOps.scaleParams)),
     "q43_lsh_scale" -> ((s, d) => DedupOps.lshCandidates(s, d, DedupOps.scaleParams)),
     "q44_jaccard_scale" -> ((s, d) => DedupOps.jaccardVerify(s, d, DedupOps.scaleParams)),
+    // text analysis: Gopher-style repetition filters (drop boilerplate)
+    "q45_repetition" -> TextOps.repetitionStats _,
+    // text analysis: PII scrub (email/IP/phone redaction census)
+    "q46_pii_redact" -> TextOps.piiRedact _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -153,5 +157,7 @@ object SparkEntry {
     "q42_minhash_scale" -> DedupOps.minhashSignaturesSqlFor(DedupOps.scaleParams),
     "q43_lsh_scale" -> DedupOps.lshCandidatesSqlFor(DedupOps.scaleParams),
     "q44_jaccard_scale" -> DedupOps.jaccardVerifySqlFor(DedupOps.scaleParams),
+    "q45_repetition" -> TextOps.repetitionStatsSql,
+    "q46_pii_redact" -> TextOps.piiRedactSql,
   )
 }

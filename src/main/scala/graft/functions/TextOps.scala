@@ -129,4 +129,114 @@ object TextOps {
        |    (h, x) -> (h * 31 + x) % 1000000007) AS fp_rolling
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------- repetition filters
+
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, applied to
+    * word bigrams): fraction of bigram occurrences belonging to the
+    * most common bigram and to any repeated bigram, plus a threshold
+    * flag. Highly repetitive documents (boilerplate, generated spam)
+    * are the classic training-data drop. Two hash-aggregations — the
+    * shuffle carries one row per (doc, distinct bigram), then one per
+    * doc; linear at corpus scale. Single-token docs have no bigrams and
+    * drop out, exactly as in the oracle. */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigramsAll =
+      """transform(sequence(1, size(toks) - 1),
+        |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .where(expr("size(toks) >= 2"))
+      .selectExpr("doc_id", s"explode($bigramsAll) AS bg")
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_bigrams"),
+        max("cnt").as("top_bigram_cnt"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_bigram_cnt"))
+      .withColumn("top_frac", round(col("top_bigram_cnt") * lit(1.0) / col("n_bigrams"), 6))
+      .withColumn("dup_frac", round(col("dup_bigram_cnt") * lit(1.0) / col("n_bigrams"), 6))
+      .withColumn("repetitive", (col("dup_frac") >= 0.2).cast("int"))
+      .select("doc_id", "n_bigrams", "top_bigram_cnt", "dup_bigram_cnt",
+        "top_frac", "dup_frac", "repetitive")
+      .orderBy("doc_id")
+  }
+
+  val repetitionStatsSql: String = {
+    val toks = "string_split(text, ' ')"
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len($toks) - 1),
+       |    i -> $toks[i] || ' ' || $toks[i + 1])) AS bg
+       |  FROM documents WHERE len($toks) >= 2),
+       |cnts AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg)
+       |SELECT doc_id,
+       |  CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |  max(cnt) AS top_bigram_cnt,
+       |  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_bigram_cnt,
+       |  round(max(cnt) * 1.0 / sum(cnt), 6) AS top_frac,
+       |  round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0 / sum(cnt), 6) AS dup_frac,
+       |  CAST(round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0 / sum(cnt), 6) >= 0.2 AS INT) AS repetitive
+       |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ PII redaction
+
+  /** PII patterns: email, North-American-style phone (ddd-dddd), and
+    * IPv4 — written to run identically under Java regex (Spark) and
+    * RE2 (DuckDB). */
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val ipRe    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val phoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails, IPv4s, and phone-like numbers from a string column
+    * — the standard scrub stage before text enters a training corpus.
+    * Order matters: IPs before phones so a phone pattern never matches
+    * inside an address. Pure codegen'd regexp_replace chain. */
+  def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** q46: PII scrub census over events. The corpus carries no real PII,
+    * so the query first synthesizes a deterministic dirty contact
+    * string from the event's own columns — IDENTICALLY in Spark and in
+    * the oracle SQL, so the redaction itself is what gets
+    * hash-verified: per-kind counts plus the scrubbed text. */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirty =
+      """concat('contact user', user_id, ' at user', user_id,
+        |  '@example.com or 555-', lpad(cast(event_id % 10000 as string), 4, '0'),
+        |  ' from 10.', user_id % 256, '.', event_id % 256, '.1 re ', event_type)"""
+        .stripMargin
+    // Spark SQL string literals eat single backslashes ('\.' -> '.'),
+    // so patterns embedded in expr() need their backslashes doubled;
+    // the Column-API redactPii path takes the raw pattern untouched.
+    def lit(re: String): String = re.replace("\\", "\\\\")
+    Tables.events(spark, sfDir)
+      .withColumn("dirty", expr(dirty))
+      .withColumn("n_email", expr(s"size(regexp_extract_all(dirty, '${lit(emailRe)}', 0))"))
+      .withColumn("n_ip", expr(s"size(regexp_extract_all(dirty, '${lit(ipRe)}', 0))"))
+      .withColumn("n_phone", expr(
+        s"size(regexp_extract_all(regexp_replace(dirty, '${lit(ipRe)}', '<IP>'), '${lit(phoneRe)}', 0))"))
+      .withColumn("clean", redactPii(col("dirty")))
+      .select("event_id", "n_email", "n_ip", "n_phone", "clean")
+      .orderBy("event_id")
+  }
+
+  val piiRedactSql: String = {
+    val dirty =
+      """'contact user' || user_id || ' at user' || user_id ||
+        |  '@example.com or 555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+        |  ' from 10.' || user_id % 256 || '.' || event_id % 256 || '.1 re ' || event_type"""
+        .stripMargin
+    s"""WITH d AS (SELECT event_id, $dirty AS dirty FROM events)
+       |SELECT event_id,
+       |  len(regexp_extract_all(dirty, '$emailRe')) AS n_email,
+       |  len(regexp_extract_all(dirty, '$ipRe')) AS n_ip,
+       |  len(regexp_extract_all(regexp_replace(dirty, '$ipRe', '<IP>', 'g'), '$phoneRe')) AS n_phone,
+       |  regexp_replace(regexp_replace(regexp_replace(dirty,
+       |    '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'), '$phoneRe', '<PHONE>', 'g') AS clean
+       |FROM d ORDER BY event_id""".stripMargin
+  }
 }
