@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextOps
-import graft.operators.{DedupOps, EmbeddingOps, EnrichOps, RelationalOps, WindowOps}
+import graft.operators.{CorpusOps, DedupOps, EmbeddingOps, EnrichOps, RelationalOps, WindowOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -108,6 +108,18 @@ object SparkEntry {
     "q45_repetition" -> TextOps.repetitionStats _,
     // text analysis: PII scrub (email/IP/phone redaction census)
     "q46_pii_redact" -> TextOps.piiRedact _,
+    // dedup: connected-component clusters over exact + near-dup edges
+    "q47_dedup_clusters" -> DedupOps.dedupClusters _,
+    // curation: benchmark decontamination (n-gram overlap census)
+    "q48_decontaminate" -> CorpusOps.decontaminate _,
+    // curation: deterministic stratified sampling (per-lang rates)
+    "q49_stratified_sample" -> CorpusOps.stratifiedSample _,
+    // curation: balanced domain mixing (downsample to smallest lang)
+    "q50_domain_mix" -> CorpusOps.domainMix _,
+    // curation: composed quality filter with reject reasons
+    "q51_quality_filter" -> CorpusOps.qualityFilter _,
+    // curation: sharded contiguous sequence packing
+    "q52_pack_bins" -> CorpusOps.packBins _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -159,5 +171,11 @@ object SparkEntry {
     "q44_jaccard_scale" -> DedupOps.jaccardVerifySqlFor(DedupOps.scaleParams),
     "q45_repetition" -> TextOps.repetitionStatsSql,
     "q46_pii_redact" -> TextOps.piiRedactSql,
+    "q47_dedup_clusters" -> DedupOps.dedupClustersSql,
+    "q48_decontaminate" -> CorpusOps.decontaminateSql,
+    "q49_stratified_sample" -> CorpusOps.stratifiedSampleSql,
+    "q50_domain_mix" -> CorpusOps.domainMixSql,
+    "q51_quality_filter" -> CorpusOps.qualityFilterSql,
+    "q52_pack_bins" -> CorpusOps.packBinsSql,
   )
 }

@@ -337,13 +337,20 @@ object DedupOps {
   def jaccardVerify(spark: SparkSession, sfDir: String): DataFrame =
     jaccardVerify(spark, sfDir, defaultParams)
 
-  def jaccardVerify(spark: SparkSession, sfDir: String, p: MinHashParams): DataFrame = {
-    val cand = lshCandidates(spark, sfDir, p).select("doc_a", "doc_b")
-    val bg = stagingRoot match {
+  /** Shingle frame shared across several scans in one query: the
+    * staged table when staging is on, a persist()ed compute otherwise.
+    * Also the entry point for other corpus operators (decontamination)
+    * that reuse the same staged shingles. */
+  private[graft] def sharedShingles(spark: SparkSession, sfDir: String): DataFrame =
+    stagingRoot match {
       case None => computeShingles(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case _ => shingleTable(spark, sfDir)
     }
+
+  def jaccardVerify(spark: SparkSession, sfDir: String, p: MinHashParams): DataFrame = {
+    val cand = lshCandidates(spark, sfDir, p).select("doc_a", "doc_b")
+    val bg = sharedShingles(spark, sfDir)
     val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(bg.as("x"), col("x.doc_id") === col("doc_a"))
@@ -419,6 +426,69 @@ object DedupOps {
        |WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
        |  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
        |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ clusters
+
+  /** Near-duplicate CLUSTERS: connected components over the union of
+    * exact-duplicate edges (same md5(text)) and LSH-verified near-dup
+    * pairs. Pairs alone under-dedup — `a~b` and `b~c` must collapse
+    * {a,b,c} to one group with one survivor (cluster_id = min doc_id).
+    * The iterative component labeling runs only on the edge-induced
+    * subgraph (duplicates, not the corpus — see [[GraphOps]]); the
+    * corpus joins in once at the end to label singletons, and cluster
+    * sizes come from one window over cluster_id. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val exactPairs = docs
+      .withColumn("keeper", min(col("doc_id")).over(
+        Window.partitionBy(md5(col("text")))))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("src"), col("doc_id").as("dst"))
+    val nearPairs = jaccardVerify(spark, sfDir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comps = GraphOps.connectedComponents(exactPairs.unionByName(nearPairs))
+    GraphOps.labelVertices(docs.select("doc_id"), "doc_id", comps)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the same pipeline with the component labeling expressed as
+    * a recursive reachability CTE (min reachable id per vertex). */
+  val dedupClustersSql: String =
+    s"""${duckSigCte(defaultParams).replaceFirst("WITH ", "WITH RECURSIVE ")}
+       |${duckBandsCte(defaultParams)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM vcand c
+       |  JOIN bg x ON x.doc_id = c.doc_a
+       |  JOIN bg y ON y.doc_id = c.doc_b AND y.s = x.s
+       |  GROUP BY c.doc_a, c.doc_b),
+       |near_pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= $jaccardThreshold),
+       |exact_pairs AS (
+       |  SELECT keeper AS doc_a, doc_id AS doc_b FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |    FROM documents) t
+       |  WHERE doc_id <> keeper),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM near_pairs
+       |  UNION SELECT doc_a, doc_b FROM exact_pairs
+       |  UNION SELECT doc_b, doc_a FROM near_pairs
+       |  UNION SELECT doc_b, doc_a FROM exact_pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+       |lbls AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       |SELECT l.doc_id, l.cluster_id,
+       |  count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+       |FROM lbls l ORDER BY l.doc_id""".stripMargin
 
   // ------------------------------------------------------------- simhash
 
