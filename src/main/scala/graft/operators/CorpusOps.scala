@@ -259,12 +259,15 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // CAST the bin to BIGINT: DuckDB's windowed sum(BIGINT) is HUGEINT,
+  // which the driver's pandas bridge renders as float64 ("0.0" vs "0")
+  // and the value hash diverges even though every value is equal.
   val packBinsSql: String =
     s"""SELECT doc_id, doc_id % $packShards AS shard,
        |  len(string_split(text, ' ')) AS n_tokens,
-       |  (sum(len(string_split(text, ' '))) OVER (
+       |  CAST((sum(len(string_split(text, ' '))) OVER (
        |     PARTITION BY doc_id % $packShards ORDER BY doc_id
        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |   - len(string_split(text, ' '))) // $packCapacity AS bin
+       |   - len(string_split(text, ' '))) // $packCapacity AS BIGINT) AS bin
        |FROM documents ORDER BY doc_id""".stripMargin
 }
