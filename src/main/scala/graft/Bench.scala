@@ -78,13 +78,10 @@ object Bench {
     val stageDir = java.nio.file.Files.createTempDirectory("graft_bench_stage").toString
     val results = graft.operators.DedupOps.withStagingRoot(Some(stageDir)) {
       val t0 = System.nanoTime()
-      try {
-        graft.operators.DedupOps.stageSignatures(spark, sfDir)
-        // production-recall preset shares the shingle table, adds sig_h128
-        graft.operators.DedupOps.stageSignatures(spark, sfDir,
-          graft.operators.DedupOps.scaleParams)
-        graft.operators.EmbeddingOps.stageIvf(spark, sfDir)
-      } catch { case e: Throwable => errors("stage_dedup") = e.toString.take(160) }
+      // both minhash presets + simhash + the IVF model; the chains
+      // after the shared shingle table run as concurrent Spark jobs
+      try graft.operators.DedupOps.stageAll(spark, sfDir)
+      catch { case e: Throwable => errors("stage_dedup") = e.toString.take(160) }
       val stageSecs = (System.nanoTime() - t0) / 1e9
       SparkEntry.queries.toSeq.filter(kv => selected(kv._1)).sortBy(_._1).map {
         case (name, fn) => name -> measure(name)(fn(spark, sfDir).count())

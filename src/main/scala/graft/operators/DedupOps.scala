@@ -102,6 +102,50 @@ object DedupOps {
           .map(tableDir(root, sfDir, _))
     }
 
+  /** Materialize EVERY staged dedup/ANN table for `sfDir`, exploiting
+    * the dependency DAG: the shared shingle table is built first (it
+    * feeds everything text-side), then the independent chains — one
+    * signatures→candidates chain per minhash preset, the simhash
+    * table, and the IVF ANN model — run as CONCURRENT Spark jobs on
+    * the shared session. On a cluster each chain is its own job whose
+    * stages interleave on free executors; at staging time the work is
+    * write-bound, so overlapping the chains hides per-job fixed cost
+    * (scheduling, codegen, parquet commit) behind each other.
+    * Exceptions from any chain propagate (no partial-success silence);
+    * staging off ⇒ no-op. */
+  def stageAll(spark: SparkSession, sfDir: String,
+               presets: Seq[MinHashParams] = Seq(defaultParams, scaleParams),
+               ivf: Boolean = true): Unit =
+    stagingRoot match {
+      case None => ()
+      case someRoot =>
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        shingleTable(spark, sfDir) // shared root of the DAG
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(presets.size + 2)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        // Staging's root override is thread-local; re-pin it (and a
+        // distinguishable job group) inside each worker thread
+        def chain(tag: String)(body: => Unit): Future[Unit] = Future {
+          Staging.withRoot(someRoot) {
+            spark.sparkContext.setJobGroup(s"graft-stage-$tag", tag, false)
+            try body finally spark.sparkContext.clearJobGroup()
+          }
+        }
+        val chains =
+          // candTable builds its sigTable dependency read-through; NOT
+          // stageSignatures, which would also rebuild simhash in every
+          // preset chain and serialize them on its table lock
+          presets.map(p => chain(s"minhash-h${p.numHashes}") {
+            candTable(spark, sfDir, p): Unit
+          }) ++
+          Seq(chain("simhash") { simhashTable(spark, sfDir): Unit }) ++
+          (if (ivf) Seq(chain("ivf") { EmbeddingOps.stageIvf(spark, sfDir): Unit })
+           else Nil)
+        try Await.result(Future.sequence(chains), Duration.Inf): Unit
+        finally pool.shutdown()
+    }
+
   // ------------------------------------------------------------- shingling
 
   /** Distinct word-bigram shingles over a PRE-MATERIALIZED token

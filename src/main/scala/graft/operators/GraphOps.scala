@@ -45,6 +45,14 @@ object GraphOps {
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
+    // Convergence check without a per-round join: min-propagation is
+    // monotone (lbl never increases, the vertex set is fixed), so ANY
+    // label change strictly decreases sum(lbl) — equal sums ⇔ fixpoint.
+    // decimal(38,0) keeps the sum exact for int64 labels at any count.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty edge set
+    var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -53,10 +61,10 @@ object GraphOps {
         .unionByName(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .where(col("n.lbl") =!= col("o.lbl")).count()
+      val nextSum = lblSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     und.unpersist()

@@ -78,6 +78,13 @@ private[graft] object Staging {
     * a staging root race only on the rename; the loser discards its
     * temp copy and reads the winner's (identical) table. The JVM-local
     * lock remains purely a duplicate-work saver within one driver. */
+  /** Per-destination write locks: concurrent builds of DIFFERENT
+    * staged tables proceed in parallel (the staging DAG's independent
+    * chains run as concurrent Spark jobs); only same-table callers
+    * serialize, so the compute runs once per table. */
+  private val dirLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def readThrough(spark: SparkSession, sfDir: String, table: String)
                  (compute: => DataFrame): DataFrame =
     root match {
@@ -85,7 +92,7 @@ private[graft] object Staging {
       case Some(r) =>
         val dir = tableDir(r, sfDir, table)
         val dst = java.nio.file.Paths.get(dir)
-        this.synchronized {
+        dirLocks.computeIfAbsent(dir, _ => new Object).synchronized {
           if (!java.nio.file.Files.exists(dst.resolve("_SUCCESS"))) {
             val tmp = java.nio.file.Paths.get(
               dir + ".tmp-" + ProcessHandle.current().pid() + "-" +
