@@ -120,6 +120,10 @@ object SparkEntry {
     "q51_quality_filter" -> CorpusOps.qualityFilter _,
     // curation: sharded contiguous sequence packing
     "q52_pack_bins" -> CorpusOps.packBins _,
+    // curation: embedding-space benchmark decontamination (max-cos census)
+    "q53_semantic_decontam" -> graft.operators.EmbeddingOps.semanticDecontaminate _,
+    // curation: rare-token (OOV) census via the broadcastable common head
+    "q54_rare_tokens" -> CorpusOps.rareTokenFilter _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -177,5 +181,7 @@ object SparkEntry {
     "q50_domain_mix" -> CorpusOps.domainMixSql,
     "q51_quality_filter" -> CorpusOps.qualityFilterSql,
     "q52_pack_bins" -> CorpusOps.packBinsSql,
+    "q53_semantic_decontam" -> graft.operators.EmbeddingOps.semanticDecontaminateSql,
+    "q54_rare_tokens" -> CorpusOps.rareTokenFilterSql,
   )
 }

@@ -270,4 +270,53 @@ object CorpusOps {
        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |   - len(string_split(text, ' '))) // $packCapacity AS BIGINT) AS bin
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- rare-token (OOV) filter
+
+  /** q54: rare-token census — per document, how many token OCCURRENCES
+    * are "rare" (corpus frequency below half the mean type frequency,
+    * `c * vocab * 2 < total` in exact integer math). A high rare mass
+    * is the classic OOV/garbled-text signal tokenizer-fertility
+    * dashboards key on.
+    *
+    * Scale shape: under Zipf the RARE types are most of the
+    * vocabulary, so the broadcastable side is the COMMON head (few
+    * types, most of the mass) — rare counts come from
+    * `n_tokens - n_common` after a broadcast semi-join against the
+    * head, never from materializing the rare tail. The frequency table
+    * itself is one partial-agg shuffle over the token stream. */
+  def rareTokenFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum("c").as("total"), count(lit(1)).as("vocab"))
+    val common = freq.crossJoin(broadcast(tot))
+      .where(col("c") * col("vocab") * 2 >= col("total")).select("t")
+    val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val commonCnt = tok.join(broadcast(common), Seq("t"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    perDoc.join(commonCnt, Seq("doc_id"), "left")
+      .withColumn("n_rare", col("n_tokens") - coalesce(col("n_common"), lit(0L)))
+      .withColumn("rare_pm", expr("n_rare * 1000 div n_tokens"))
+      .withColumn("oov_flag", (col("n_rare") >= 1).cast("int"))
+      .select("doc_id", "n_tokens", "n_rare", "rare_pm", "oov_flag")
+      .orderBy("doc_id")
+  }
+
+  val rareTokenFilterSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |f AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+       |m AS (SELECT sum(c) AS total, count(*) AS vocab FROM f),
+       |com AS (SELECT t FROM f CROSS JOIN m WHERE c * vocab * 2 >= total),
+       |per AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+       |cc AS (
+       |  SELECT doc_id, count(*) AS n_common
+       |  FROM tok JOIN com USING (t) GROUP BY doc_id)
+       |SELECT p.doc_id, p.n_tokens,
+       |  p.n_tokens - coalesce(c.n_common, 0) AS n_rare,
+       |  (p.n_tokens - coalesce(c.n_common, 0)) * 1000 // p.n_tokens AS rare_pm,
+       |  CAST(p.n_tokens - coalesce(c.n_common, 0) >= 1 AS INT) AS oov_flag
+       |FROM per p LEFT JOIN cc c ON c.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
 }

@@ -449,4 +449,57 @@ object EmbeddingOps {
        |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $nearDupCos
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // --------------------------------------------- semantic decontamination
+
+  /** Held-out eval slice standing in for the benchmark embedding set
+    * (mirrors CorpusOps' n-gram benchPred, keyed on vec_id). */
+  private val semBenchPred = "vec_id % 20 = 0"
+  /** Max-cosine flag threshold. A real pipeline sets this near 0.95;
+    * the synthetic corpus plants no cross-slice twins, so the oracle
+    * exercises the flag at a value the data actually straddles. */
+  val semThreshold = 0.45
+
+  /** q53: semantic decontamination — the embedding-space counterpart
+    * of n-gram benchmark decontamination (q48): a training example
+    * whose embedding is too close to ANY benchmark embedding is a
+    * paraphrase-level leak that n-gram overlap misses. Emits, per
+    * training vector, its max cosine against the benchmark set, how
+    * many benchmark vectors sit above the threshold, and the flag.
+    *
+    * Scale shape: the benchmark set is fixed-size (eval suites don't
+    * grow with the corpus), so it broadcasts and the corpus streams
+    * through one narrow map + one partial-agg shuffle on vec_id —
+    * identical topology to brute-force top-k. For corpora where even
+    * one pass is too hot, the IVF/LSH candidate paths above compose
+    * the same way (probe only the benchmark's buckets). Cosines are
+    * rounded to 6 dp BEFORE the threshold compare on both sides so
+    * flag bits can't straddle a 1-ulp engine difference. */
+  def semanticDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = vectors(spark, sfDir)
+    val bench = vs.where(expr(semBenchPred))
+      .select(col("v").as("bv"), col("nrm").as("bn"))
+    vs.where(expr(s"NOT ($semBenchPred)"))
+      .crossJoin(broadcast(bench))
+      .withColumn("cos", round(dotC(col("v"), col("bv")) / (col("nrm") * col("bn")), 6))
+      .groupBy("vec_id").agg(
+        max("cos").as("max_cos"),
+        count(when(col("cos") >= semThreshold, 1)).as("n_close"))
+      .withColumn("contaminated", (col("max_cos") >= semThreshold).cast("int"))
+      .select("vec_id", "max_cos", "n_close", "contaminated")
+      .orderBy("vec_id")
+  }
+
+  val semanticDecontaminateSql: String =
+    s"""$duckVecCte,
+       |bench AS (SELECT v AS bv, nrm AS bn FROM n WHERE $semBenchPred),
+       |train AS (SELECT vec_id, v, nrm FROM n WHERE NOT ($semBenchPred)),
+       |cs AS (
+       |  SELECT t.vec_id,
+       |    round(list_dot_product(t.v, b.bv) / (t.nrm * b.bn), 6) AS cos
+       |  FROM train t CROSS JOIN bench b)
+       |SELECT vec_id, max(cos) AS max_cos,
+       |  count(CASE WHEN cos >= $semThreshold THEN 1 END) AS n_close,
+       |  CAST(max(cos) >= $semThreshold AS INT) AS contaminated
+       |FROM cs GROUP BY vec_id ORDER BY vec_id""".stripMargin
 }

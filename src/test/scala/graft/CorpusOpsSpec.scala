@@ -196,4 +196,29 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(twice == out)
   }
+
+  test("q54: rare-token census matches a driver-side brute force") {
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val all = texts.flatMap { case (_, t) => t.split(" ", -1) }
+    val freq = all.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val (total, vocab) = (freq.values.sum, freq.size.toLong)
+    val expected = texts.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val nRare = toks.count(tk => freq(tk) * vocab * 2 < total).toLong
+      id -> (toks.length.toLong, nRare)
+    }.toMap
+    val got = CorpusOps.rareTokenFilter(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { case org.apache.spark.sql.Row(
+        id: Long, n: Long, r: Long, pm: Long, flag: Int) =>
+      val (en, er) = expected(id)
+      assert((n, r) == (en, er), s"doc $id: ($n,$r) vs ($en,$er)")
+      assert(pm == r * 1000 / n)
+      assert(flag == (if (r >= 1) 1 else 0))
+    }
+    // the synthetic corpus has a genuinely rare token: the census must
+    // discriminate, not vacuously emit all-zeros
+    assert(got.exists(_.getInt(4) == 1) && got.exists(_.getInt(4) == 0))
+  }
 }

@@ -270,4 +270,35 @@ class DedupAnnSpec extends SparkSpec {
     assert(guarded.nonEmpty, "expected at least one near-dup pair at 128/16 on the test corpus")
     spark.catalog.clearCache()
   }
+
+  test("semantic decontamination (q53) matches a driver-side brute force") {
+    import org.apache.spark.sql.Row
+    val got = EmbeddingOps.semanticDecontaminate(spark, sf).collect()
+    // brute force with the same sequential-fold dot product + HALF_UP round
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map { case Row(id: Long, v: scala.collection.Seq[_]) =>
+        id -> v.asInstanceOf[scala.collection.Seq[Double]].toArray }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bench = vecs.filter(_._1 % 20 == 0)
+    val train = vecs.filter(_._1 % 20 != 0)
+    val expected = train.map { case (id, v) =>
+      val cs = bench.map { case (_, b) =>
+        r6(dot(v, b) / (math.sqrt(dot(v, v)) * math.sqrt(dot(b, b)))) }
+      id -> ((cs.max, cs.count(_ >= EmbeddingOps.semThreshold).toLong))
+    }.toMap
+    assert(got.length == expected.size)
+    got.foreach { case Row(id: Long, mc: Double, nc: Long, flag: Int) =>
+      val (emc, enc) = expected(id)
+      assert(mc == emc && nc == enc, s"vec $id: ($mc,$nc) vs ($emc,$enc)")
+      assert(flag == (if (mc >= EmbeddingOps.semThreshold) 1 else 0))
+    }
+    assert(got.forall { case Row(id: Long, _, _, _) => id % 20 != 0 },
+      "benchmark vectors must not appear in the training-side census")
+  }
 }

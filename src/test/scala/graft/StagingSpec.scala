@@ -68,4 +68,35 @@ class StagingSpec extends SparkSpec {
     val tmps = tableDir.getParent.toFile.listFiles().map(_.getName).filter(_.contains(".tmp-"))
     assert(tmps.isEmpty, s"no temp debris expected, saw ${tmps.toSeq}")
   }
+
+  test("stageAll builds the full staged table set concurrently and matches serial staging") {
+    import graft.operators.DedupOps
+    val p8 = DedupOps.defaultParams
+    val p128 = DedupOps.scaleParams
+    // concurrent DAG into a fresh root
+    val rootA = Files.createTempDirectory("graft_stage_all").toString
+    val candA = DedupOps.withStagingRoot(Some(rootA)) {
+      DedupOps.stageAll(spark, sf)
+      DedupOps.lshCandidates(spark, sf).collect().toSeq
+    }
+    val expectTables = Seq(
+      "shingles", "simhash",
+      s"sig_h${p8.numHashes}", s"cand_h${p8.numHashes}_b${p8.numBands}",
+      s"sig_h${p128.numHashes}", s"cand_h${p128.numHashes}_b${p128.numBands}")
+    expectTables.foreach { t =>
+      val dir = Paths.get(Staging.tableDir(rootA, sf, t))
+      assert(Files.exists(dir.resolve("_SUCCESS")), s"missing staged table $t")
+    }
+    val ivfDirs = Paths.get(Staging.tableDir(rootA, sf, "x")).getParent
+      .toFile.listFiles().map(_.getName).filter(_.startsWith("ivf_"))
+    assert(ivfDirs.length == 2, s"expected ivf_cent + ivf_assign, saw ${ivfDirs.toSeq}")
+    // serial staging into another root yields the identical candidate table
+    val rootB = Files.createTempDirectory("graft_stage_all").toString
+    val candB = DedupOps.withStagingRoot(Some(rootB)) {
+      DedupOps.stageSignatures(spark, sf)
+      DedupOps.lshCandidates(spark, sf).collect().toSeq
+    }
+    assert(candA == candB, "concurrent and serial staging must agree")
+    spark.catalog.clearCache()
+  }
 }
