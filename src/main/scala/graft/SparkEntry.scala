@@ -124,6 +124,16 @@ object SparkEntry {
     "q53_semantic_decontam" -> graft.operators.EmbeddingOps.semanticDecontaminate _,
     // curation: rare-token (OOV) census via the broadcastable common head
     "q54_rare_tokens" -> CorpusOps.rareTokenFilter _,
+    // curation: CCNet-style boilerplate chunk (pseudo-line) dedup census
+    "q55_boilerplate" -> CorpusOps.boilerplateChunks _,
+    // curation: rarity-weighted top-k keywords per document (TF-IDF shape)
+    "q56_tfidf_keywords" -> CorpusOps.tfidfKeywords _,
+    // curation: char-trigram typicality (integer-exact perplexity proxy)
+    "q57_trigram_typicality" -> CorpusOps.trigramTypicality _,
+    // curation: deterministic per-epoch shard/order assignment
+    "q58_epoch_shuffle" -> CorpusOps.epochShuffle _,
+    // similarity: embedding health census (NaN/zero/norm gate)
+    "q59_embedding_health" -> graft.operators.EmbeddingOps.embeddingHealth _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -183,5 +193,10 @@ object SparkEntry {
     "q52_pack_bins" -> CorpusOps.packBinsSql,
     "q53_semantic_decontam" -> graft.operators.EmbeddingOps.semanticDecontaminateSql,
     "q54_rare_tokens" -> CorpusOps.rareTokenFilterSql,
+    "q55_boilerplate" -> CorpusOps.boilerplateChunksSql,
+    "q56_tfidf_keywords" -> CorpusOps.tfidfKeywordsSql,
+    "q57_trigram_typicality" -> CorpusOps.trigramTypicalitySql,
+    "q58_epoch_shuffle" -> CorpusOps.epochShuffleSql,
+    "q59_embedding_health" -> graft.operators.EmbeddingOps.embeddingHealthSql,
   )
 }

@@ -303,6 +303,221 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------- boilerplate chunk dedup
+
+  private val chunkLen = 5   // tokens per pseudo-line
+  private val boilerDf = 2   // chunk is boilerplate if in >= 2 distinct docs
+
+  /** q55: boilerplate-chunk census — the CCNet/RefinedWeb line-dedup
+    * topology. Documents are cut into deterministic non-overlapping
+    * `chunkLen`-token chunks (the corpus has no newlines, so fixed
+    * token windows stand in for lines; with newline-delimited text the
+    * splitter is the only line that changes), the corpus-wide document
+    * frequency of every chunk is counted, and chunks appearing in >=
+    * `boilerDf` distinct documents are flagged as boilerplate. Output
+    * is the per-document census (chunk count, boilerplate-chunk count,
+    * per-mille) that drives the "strip headers/footers/nav bars before
+    * training" pass.
+    *
+    * Scale shape: one explode (narrow), one hash-agg on the chunk hash
+    * for document frequency, and a join back to the chunk stream. The
+    * frequent-chunk set is a tiny fraction of all chunks (that is what
+    * makes it boilerplate), so it broadcasts and the chunk stream
+    * shuffles only for the final per-doc count. Chunk identity travels
+    * as an 8-byte xxhash64 in the Spark plan, never the chunk string. */
+  def boilerplateChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+    val chunks = docs.selectExpr("doc_id",
+      s"""explode(transform(sequence(0, cast(ceil(size(toks) / ${chunkLen}.0) as int) - 1),
+         |  i -> concat_ws(' ', slice(toks, i * $chunkLen + 1, $chunkLen)))) AS chunk"""
+        .stripMargin)
+      .withColumn("ch", xxhash64(col("chunk"))).drop("chunk")
+    val boiler = chunks.groupBy("ch")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= boilerDf)
+      .select("ch")
+    val perDoc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val boilCnt = chunks.join(broadcast(boiler), "ch")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(boilCnt, Seq("doc_id"), "left")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("boiler_pm", expr("n_boiler * 1000 div n_chunks"))
+      .select("doc_id", "n_chunks", "n_boiler", "boiler_pm")
+      .orderBy("doc_id")
+  }
+
+  val boilerplateChunksSql: String = {
+    val toks = "string_split(text, ' ')"
+    // chunk i = tokens [i*L+1 .. min((i+1)*L, n)] joined by ' '
+    val chunkList =
+      s"""list_transform(generate_series(0, CAST(ceil(len($toks) / ${chunkLen}.0) AS INT) - 1),
+         |  i -> array_to_string(list_transform(
+         |         generate_series(i * $chunkLen + 1,
+         |                         least((i + 1) * $chunkLen, len($toks))),
+         |         j -> $toks[j]), ' '))""".stripMargin
+    s"""WITH ch AS (SELECT doc_id, unnest($chunkList) AS chunk FROM documents),
+       |boiler AS (
+       |  SELECT chunk FROM ch GROUP BY chunk
+       |  HAVING count(DISTINCT doc_id) >= $boilerDf),
+       |per AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+       |bc AS (
+       |  SELECT doc_id, count(*) AS n_boiler
+       |  FROM ch JOIN boiler USING (chunk) GROUP BY doc_id)
+       |SELECT p.doc_id, p.n_chunks,
+       |  coalesce(b.n_boiler, 0) AS n_boiler,
+       |  coalesce(b.n_boiler, 0) * 1000 // p.n_chunks AS boiler_pm
+       |FROM per p LEFT JOIN bc b ON b.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- TF-IDF keywords
+
+  private val tfidfTopK = 3
+
+  /** q56: rarity-weighted top-k terms per document — the log-free
+    * TF-IDF variant (score = tf/df scaled to ppm; the corpus-constant
+    * N factor and the log are monotone, so the RANKING is the one
+    * classic TF-IDF produces for df-distinct terms, in exact integer
+    * math the oracle reproduces bit-for-bit). Keyword extraction feeds
+    * topic tagging and domain classifiers in a curation pipeline.
+    *
+    * Scale shape: tf is one hash-agg on (doc_id, term); df is an agg
+    * over the DISTINCT (doc_id, term) stream which REUSES the tf
+    * result (no second pass over the corpus); the df table (one row
+    * per vocabulary term — Heaps' law: sublinear in corpus size)
+    * broadcasts back. Top-k is a per-doc window over tf rows, never a
+    * global sort. */
+  def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_ppm").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .withColumn("score_ppm", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= tfidfTopK)
+      .select("doc_id", "term", "tf", "df", "score_ppm", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfKeywordsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+       |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+       |scored AS (
+       |  SELECT t.doc_id, t.term, t.tf, d.df, t.tf * 1000000 // d.df AS score_ppm,
+       |    row_number() OVER (PARTITION BY t.doc_id
+       |                       ORDER BY t.tf * 1000000 // d.df DESC, t.term ASC) AS rank
+       |  FROM tfc t JOIN dfc d USING (term))
+       |SELECT doc_id, term, tf, df, score_ppm, rank
+       |FROM scored WHERE rank <= $tfidfTopK
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // ------------------------------------------- char-trigram typicality
+
+  /** q57: character-trigram typicality — the integer-exact stand-in
+    * for the KenLM-perplexity quality filter (CCNet's third stage):
+    * docs whose character sequences are globally rare are garbled
+    * text, encoding noise, or the wrong language. Per document:
+    * trigram occurrence count, the corpus frequency mass of those
+    * occurrences, typicality in ppm (mean per-occurrence corpus
+    * frequency, scaled), and the rarest trigram's corpus count.
+    *
+    * A true LM score needs log-probs; logs differ in the last ulp
+    * across engines, so the census sticks to exact integer sums —
+    * MONOTONE in the mean trigram probability, which is what the
+    * filter thresholds on anyway.
+    *
+    * Scale shape: trigram explode is narrow; the corpus frequency
+    * table is bounded by charset^3 (not corpus size) so it broadcasts;
+    * the only wide stage is the per-doc sum. At petabyte scale the
+    * per-doc sum uses mean-of-ppm instead of sum*1e6 to stay inside
+    * int64 — same topology. */
+  def trigramTypicality(spark: SparkSession, sfDir: String): DataFrame = {
+    val tris = Tables.documents(spark, sfDir)
+      .where(length(col("text")) >= 3)
+      .selectExpr("doc_id",
+        "explode(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS tri")
+    val freq = tris.groupBy("tri").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("total"))
+    tris.join(broadcast(freq), "tri")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tris"),
+           sum("cnt").as("freq_mass"),
+           min("cnt").as("rarest_cnt"))
+      .crossJoin(broadcast(total))
+      .withColumn("typ_ppm", expr("freq_mass * 1000000 div (n_tris * total)"))
+      .select("doc_id", "n_tris", "freq_mass", "rarest_cnt", "typ_ppm")
+      .orderBy("doc_id")
+  }
+
+  val trigramTypicalitySql: String =
+    s"""WITH tris AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(text) - 2),
+       |                          i -> substr(text, i, 3))) AS tri
+       |  FROM documents WHERE len(text) >= 3),
+       |freq AS (SELECT tri, count(*) AS cnt FROM tris GROUP BY tri),
+       |tot AS (SELECT sum(cnt) AS total FROM freq),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_tris, sum(cnt) AS freq_mass,
+       |    min(cnt) AS rarest_cnt
+       |  FROM tris JOIN freq USING (tri) GROUP BY doc_id)
+       |SELECT doc_id, n_tris, CAST(freq_mass AS BIGINT) AS freq_mass, rarest_cnt,
+       |  CAST(freq_mass * 1000000 // (n_tris * total) AS BIGINT) AS typ_ppm
+       |FROM per CROSS JOIN tot
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- deterministic epoch shuffle
+
+  private val shuffleEpochs = 2
+  private val shuffleShards = 16
+
+  /** q58: deterministic training-order shuffle — every epoch assigns
+    * every document a shard and a position inside that shard, from a
+    * hash of (epoch, doc_id) alone. The property that matters at
+    * scale: re-running epoch e on any cluster layout reproduces the
+    * identical order (resumable training), and no two epochs share an
+    * order (the hash re-keys per epoch).
+    *
+    * Scale shape: the shard assignment is a narrow map; ordering is a
+    * row_number window PER (epoch, shard) — shards scale with
+    * executors, so there is no global sort and no single-partition
+    * window anywhere. */
+  def epochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coin =
+      "cast(conv(substring(md5(concat(epoch, ':', doc_id)), 1, 8), 16, 10) as bigint)"
+    val w = Window.partitionBy("epoch", "shard")
+      .orderBy(col("coin").asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir).select("doc_id")
+      .withColumn("epoch", explode(expr(s"sequence(0, ${shuffleEpochs - 1})")))
+      .withColumn("coin", expr(coin))
+      .withColumn("shard", col("coin") % shuffleShards)
+      .withColumn("pos", row_number().over(w))
+      .select("epoch", "doc_id", "shard", "pos")
+      .orderBy("epoch", "doc_id")
+  }
+
+  val epochShuffleSql: String = {
+    val coin =
+      "('0x' || substr(md5(epoch || ':' || doc_id), 1, 8))::BIGINT"
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest(generate_series(0, ${shuffleEpochs - 1})) AS epoch
+       |  FROM documents),
+       |c AS (SELECT doc_id, epoch, $coin AS coin FROM e)
+       |SELECT epoch, doc_id, coin % $shuffleShards AS shard,
+       |  row_number() OVER (PARTITION BY epoch, coin % $shuffleShards
+       |                     ORDER BY coin ASC, doc_id ASC) AS pos
+       |FROM c ORDER BY epoch, doc_id""".stripMargin
+  }
+
   val rareTokenFilterSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

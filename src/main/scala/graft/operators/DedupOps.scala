@@ -137,7 +137,7 @@ object DedupOps {
           // stageSignatures, which would also rebuild simhash in every
           // preset chain and serialize them on its table lock
           presets.map(p => chain(s"minhash-h${p.numHashes}") {
-            candTable(spark, sfDir, p): Unit
+            verifiedTable(spark, sfDir, p): Unit // builds sig + cand read-through
           }) ++
           Seq(chain("simhash") { simhashTable(spark, sfDir): Unit }) ++
           (if (ivf) Seq(chain("ivf") { EmbeddingOps.stageIvf(spark, sfDir): Unit })
@@ -392,7 +392,8 @@ object DedupOps {
       case _ => shingleTable(spark, sfDir)
     }
 
-  def jaccardVerify(spark: SparkSession, sfDir: String, p: MinHashParams): DataFrame = {
+  private def computeJaccardVerify(spark: SparkSession, sfDir: String,
+                                   p: MinHashParams): DataFrame = {
     val cand = lshCandidates(spark, sfDir, p).select("doc_a", "doc_b")
     val bg = sharedShingles(spark, sfDir)
     val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -407,8 +408,27 @@ object DedupOps {
       .withColumn("jaccard", round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6))
       .where(col("jaccard") >= jaccardThreshold)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** Verified near-dup pair table, staged like the candidate table:
+    * the exact-Jaccard verify join is the last expensive dedup stage,
+    * and three downstream consumers (the verify query itself, the
+    * keep-list, the cluster labeling) all re-derive from it. At scale
+    * the verified pair list is THE dedup artifact a pipeline
+    * materializes once and serves everywhere; recomputing the
+    * candidates x shingles join per consumer triples the heaviest
+    * stage for no information gain. */
+  private def verifiedTable(spark: SparkSession, sfDir: String,
+                            p: MinHashParams): DataFrame =
+    stagingRoot match {
+      case None => computeJaccardVerify(spark, sfDir, p)
+      case _ =>
+        staged(spark, sfDir, s"verified_h${p.numHashes}_b${p.numBands}")(
+          computeJaccardVerify(spark, sfDir, p))
+    }
+
+  def jaccardVerify(spark: SparkSession, sfDir: String, p: MinHashParams): DataFrame =
+    verifiedTable(spark, sfDir, p).orderBy("doc_a", "doc_b")
 
   def jaccardVerifySqlFor(p: MinHashParams): String =
     s"""${duckSigCte(p)}

@@ -502,4 +502,40 @@ object EmbeddingOps {
        |  count(CASE WHEN cos >= $semThreshold THEN 1 END) AS n_close,
        |  CAST(max(cos) >= $semThreshold AS INT) AS contaminated
        |FROM cs GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------- embedding health census
+
+  /** q59: embedding health census — the data-quality gate an embedding
+    * column passes before any ANN/dedup stage trusts it: dimension
+    * count (schema drift), zero-component count, non-finite count
+    * (NaN/Inf poison every distance), L2 norm (un-normalized or
+    * collapsed vectors), and a degenerate flag. Broken vectors
+    * upstream silently corrupt every cosine downstream, so this runs
+    * first and cheap.
+    *
+    * Scale shape: pure narrow map over the vector column — no shuffle,
+    * no join; the norm is the same codegen fold the ANN operators use.
+    * The ORDER BY is presentation-only. */
+  def embeddingHealth(spark: SparkSession, sfDir: String): DataFrame =
+    vectors(spark, sfDir)
+      .withColumn("dims", size(col("v")))
+      .withColumn("n_zero", expr("size(filter(v, x -> x = 0.0d))"))
+      .withColumn("n_nonfinite", expr(
+        "size(filter(v, x -> isnan(x) or abs(x) = cast('Infinity' as double)))"))
+      .withColumn("norm", round(col("nrm"), 6))
+      .withColumn("degenerate",
+        (col("n_nonfinite") > 0 || col("n_zero") === col("dims")).cast("int"))
+      .select("vec_id", "dims", "n_zero", "n_nonfinite", "norm", "degenerate")
+      .orderBy("vec_id")
+
+  val embeddingHealthSql: String =
+    s"""$duckVecCte
+       |SELECT vec_id,
+       |  len(v) AS dims,
+       |  len(list_filter(v, x -> x = 0.0)) AS n_zero,
+       |  len(list_filter(v, x -> isnan(x) OR isinf(x))) AS n_nonfinite,
+       |  round(nrm, 6) AS norm,
+       |  CAST(len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0
+       |       OR len(list_filter(v, x -> x = 0.0)) = len(v) AS INT) AS degenerate
+       |FROM n ORDER BY vec_id""".stripMargin
 }
