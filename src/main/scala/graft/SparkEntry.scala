@@ -134,6 +134,10 @@ object SparkEntry {
     "q58_epoch_shuffle" -> CorpusOps.epochShuffle _,
     // similarity: embedding health census (NaN/zero/norm gate)
     "q59_embedding_health" -> graft.operators.EmbeddingOps.embeddingHealth _,
+    // dedup: containment pairs via rare-shingle anchoring (doc-inside-doc)
+    "q60_containment" -> DedupOps.containmentPairs _,
+    // dedup: incremental batch-vs-corpus admission (exact + near verdicts)
+    "q61_incremental_dedup" -> DedupOps.incrementalDedup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -198,5 +202,7 @@ object SparkEntry {
     "q57_trigram_typicality" -> CorpusOps.trigramTypicalitySql,
     "q58_epoch_shuffle" -> CorpusOps.epochShuffleSql,
     "q59_embedding_health" -> graft.operators.EmbeddingOps.embeddingHealthSql,
+    "q60_containment" -> DedupOps.containmentPairsSql,
+    "q61_incremental_dedup" -> DedupOps.incrementalDedupSql,
   )
 }

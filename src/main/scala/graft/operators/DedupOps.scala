@@ -264,6 +264,19 @@ object DedupOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       p, g)
 
+  /** SQL expr producing the band-key array from the `__sig` array
+    * column: band b's key is "b_mh.._mh" over its rowsPerBand slice. */
+  private def bandArrayExpr(p: MinHashParams): String =
+    s"""transform(sequence(0, ${p.numBands - 1}), b -> concat(b, '_',
+       |  concat_ws('_', transform(slice(__sig, b * ${p.rowsPerBand} + 1, ${p.rowsPerBand}),
+       |                           e -> cast(e as string)))))""".stripMargin
+
+  /** (doc_id, bk) band-key stream of a signature frame (mh0..mhN cols). */
+  private def bandKeysOf(sig: DataFrame, p: MinHashParams): DataFrame =
+    sig.select(col("doc_id"),
+        array((0 until p.numHashes).map(i => col(s"mh$i")): _*).as("__sig"))
+      .select(col("doc_id"), explode(expr(bandArrayExpr(p))).as("bk"))
+
   private def lshCandidatesFrom(sig: DataFrame, p: MinHashParams, g: BandGuard): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The signature travels as ONE array column from here on: banding,
@@ -305,14 +318,8 @@ object DedupOps {
            .select(col("__gmin").as("doc_a"), col("doc_id").as("doc_b"),
              lit(1.0).as("est_jaccard")))
       }
-    val rpb = p.rowsPerBand
     // band key "b_mh.._mh" — byte-identical to the column-wise concat
-    val bands0 = bandSig.select(col("doc_id"),
-      explode(expr(
-        s"""transform(sequence(0, ${p.numBands - 1}), b -> concat(b, '_',
-           |  concat_ws('_', transform(slice(__sig, b * $rpb + 1, $rpb),
-           |                           e -> cast(e as string)))))""".stripMargin))
-        .as("bk"))
+    val bands0 = bandSig.select(col("doc_id"), explode(expr(bandArrayExpr(p))).as("bk"))
     // --- guard stage 2: per-bucket membership cap --------------------------
     SkewGuard.maybeLogOverflow(bands0, "bk", g.maxBucket, g.logOverflow, "lshCandidates")
     val bands = SkewGuard.capBuckets(bands0, "bk", "doc_id", g.maxBucket)
@@ -553,6 +560,222 @@ object DedupOps {
        |SELECT l.doc_id, l.cluster_id,
        |  count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
        |FROM lbls l ORDER BY l.doc_id""".stripMargin
+
+  // -------------------------------------------------- containment dedup
+
+  private val anchorK = 3      // rarest shingles per doc used as anchors
+  private val anchorMaxDf = 8  // a shingle this common cannot anchor
+  val containThreshold = 0.8   // |A ∩ B| / min(|A|,|B|)
+
+  /** q60: containment dedup census — near-dup detection's blind spot
+    * is the SMALL document fully contained in a big one (quote pages,
+    * excerpt farms): Jaccard is tiny (union is the big doc), so
+    * MinHash/LSH never pairs them. Containment = |A∩B| / min(|A|,|B|)
+    * catches exactly that.
+    *
+    * All-pairs containment is O(n²); this bounds candidates by
+    * RARE-SHINGLE ANCHORING: each doc nominates its `anchorK` rarest
+    * shingles (corpus df ascending, shingle text as tiebreak, only
+    * shingles with df <= `anchorMaxDf` may anchor), and each anchor
+    * probes the full posting list of that shingle. The contained doc's
+    * anchors are inside the container by definition, so the container
+    * is always on their posting lists — even though the container
+    * itself anchors its own, rarer shingles. Fan-out is bounded by
+    * construction: an anchor's posting list has at most `anchorMaxDf`
+    * docs, so candidates <= docs x anchorK x anchorMaxDf — linear, and
+    * the skew cap is built into the candidate definition, not bolted
+    * on.
+    *
+    * Scale shape: one df aggregate over the staged shingle table, one
+    * shuffle join on the shingle to attach df, a per-doc top-k window,
+    * the bounded anchor self-join, then the same candidates-only
+    * intersection join the Jaccard verifier uses. */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame =
+    containmentFrom(sharedShingles(spark, sfDir))
+
+  /** Containment pairs over an arbitrary `(doc_id, text)` frame — the
+    * library entry for corpora not staged under a testdata dir. */
+  def containmentPairsOf(docs: DataFrame): DataFrame =
+    containmentFrom(shinglesOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def containmentFrom(bg: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = bg.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+    val anchors = bg.select("doc_id", "s").join(df, "s")
+      .where(col("df") <= anchorMaxDf)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= anchorK)
+      .select("doc_id", "s")
+    // anchors probe the FULL posting list, not other docs' anchors: the
+    // big doc containing a small one rarely ANCHORS the shared shingle
+    // (its own unique shingles are rarer still), but its posting-list
+    // entry is always there. Fan-out stays bounded: an anchor has
+    // df <= anchorMaxDf, so its posting list has <= anchorMaxDf docs.
+    val cand = anchors.as("x").join(bg.select("doc_id", "s").as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+              greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(bg.as("p"), col("p.doc_id") === col("doc_a"))
+      .join(bg.as("q"), col("q.doc_id") === col("doc_b") && col("q.s") === col("p.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("containment",
+        round(col("i") * lit(1.0) / least(col("na"), col("nb")), 6))
+      .where(col("containment") >= containThreshold)
+      .select("doc_a", "doc_b", "na", "nb", "i", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest($duckBigrams) AS s FROM documents),
+       |df AS (SELECT s, count(*) AS df FROM bg GROUP BY s),
+       |anch AS (
+       |  SELECT doc_id, s FROM (
+       |    SELECT b.doc_id, b.s,
+       |      row_number() OVER (PARTITION BY b.doc_id ORDER BY d.df ASC, b.s ASC) AS rk
+       |    FROM bg b JOIN df d USING (s) WHERE d.df <= $anchorMaxDf) t
+       |  WHERE rk <= $anchorK),
+       |cand AS (
+       |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+       |                  greatest(x.doc_id, y.doc_id) AS doc_b
+       |  FROM anch x JOIN bg y ON x.s = y.s AND x.doc_id <> y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN bg p ON p.doc_id = c.doc_a
+       |  JOIN bg q ON q.doc_id = c.doc_b AND q.s = p.s
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb, i,
+       |  round(i * 1.0 / least(sa.n, sb.n), 6) AS containment
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+       |           JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE round(i * 1.0 / least(sa.n, sb.n), 6) >= $containThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------- incremental dedup
+
+  /** The "today's crawl" stand-in: a deterministic tenth of the corpus
+    * arrives as the new batch; everything else is the settled corpus. */
+  private val batchPred = "doc_id % 10 = 7"
+
+  /** q61: incremental dedup — the production shape for daily ingest: a
+    * NEW batch is admitted against the settled corpus without ever
+    * re-deduping the corpus against itself. A new doc is rejected as
+    * `dup_exact` (byte-identical text exists), `dup_near` (shares a
+    * band bucket with a corpus doc and exact Jaccard verifies), or
+    * `admit`ted. Ties are deterministic: the matched corpus doc is the
+    * highest-Jaccard then lowest-id partner.
+    *
+    * Scale shape: the batch is orders of magnitude smaller than the
+    * corpus, so every batch-side table (signatures, band keys, text
+    * hashes) BROADCASTS — the staged corpus signature table is scanned
+    * once and never shuffles; corpus shingles join only against the
+    * candidate pairs. The corpus never pairs with itself: the band
+    * join is strictly batch x corpus. */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = defaultParams
+    val sig = sigTable(spark, sfDir, p)
+    val newBands = bandKeysOf(sig.where(expr(batchPred)), p)
+    val corpusBands = bandKeysOf(sig.where(expr(s"NOT ($batchPred)")), p)
+    val cand = broadcast(newBands.as("nb"))
+      .join(corpusBands.as("cb"), col("nb.bk") === col("cb.bk"))
+      .select(col("nb.doc_id").as("new_id"), col("cb.doc_id").as("old_id"))
+      .distinct()
+    val bg = sharedShingles(spark, sfDir)
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val near = cand
+      .join(bg.as("x"), col("x.doc_id") === col("new_id"))
+      .join(bg.as("y"), col("y.doc_id") === col("old_id") && col("y.s") === col("x.s"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("i"))
+      .join(sizes.withColumnRenamed("doc_id", "new_id").withColumnRenamed("n", "na"), "new_id")
+      .join(sizes.withColumnRenamed("doc_id", "old_id").withColumnRenamed("n", "nb"), "old_id")
+      .withColumn("jaccard", round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6))
+      .where(col("jaccard") >= jaccardThreshold)
+      .groupBy("new_id").agg(
+        max(struct(col("jaccard"), (-col("old_id")).as("negId"))).as("best"))
+      .select(col("new_id"),
+        col("best.jaccard").as("near_jaccard"), (-col("best.negId")).as("near_id"))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val newDocs = docs.where(expr(batchPred))
+    val exact = broadcast(newDocs.select(col("doc_id").as("new_id"), md5(col("text")).as("sg")))
+      .join(docs.where(expr(s"NOT ($batchPred)"))
+              .select(md5(col("text")).as("sg"), col("doc_id").as("old_id")), "sg")
+      .groupBy("new_id").agg(min("old_id").as("exact_id"))
+    newDocs.select(col("doc_id").as("new_id"))
+      .join(exact, Seq("new_id"), "left")
+      .join(near, Seq("new_id"), "left")
+      .withColumn("verdict",
+        when(col("exact_id").isNotNull, lit("dup_exact"))
+          .when(col("near_id").isNotNull, lit("dup_near"))
+          .otherwise(lit("admit")))
+      .withColumn("match_id",
+        coalesce(col("exact_id"), col("near_id"), lit(-1L)))
+      .withColumn("jaccard",
+        when(col("exact_id").isNotNull, lit(1.0))
+          .otherwise(coalesce(col("near_jaccard"), lit(0.0))))
+      .select(col("new_id").as("doc_id"), col("verdict"), col("match_id"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  val incrementalDedupSql: String = {
+    val p = defaultParams
+    val bands = (0 until p.numBands).map { b =>
+      val mhs = (b * p.rowsPerBand until (b + 1) * p.rowsPerBand)
+        .map(i => s", '_', mh$i").mkString
+      s"SELECT doc_id, concat($b$mhs) AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""${duckSigCte(p)},
+       |bands AS ($bands),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+       |  FROM bands x JOIN bands y ON x.bk = y.bk
+       |  WHERE x.doc_id % 10 = 7 AND NOT (y.doc_id % 10 = 7)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.new_id, c.old_id, count(*) AS i
+       |  FROM cand c
+       |  JOIN bg x ON x.doc_id = c.new_id
+       |  JOIN bg y ON y.doc_id = c.old_id AND y.s = x.s
+       |  GROUP BY c.new_id, c.old_id),
+       |near0 AS (
+       |  SELECT new_id, old_id,
+       |    round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+       |  FROM inter JOIN sizes sa ON sa.doc_id = new_id
+       |             JOIN sizes sb ON sb.doc_id = old_id
+       |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= $jaccardThreshold),
+       |near AS (
+       |  SELECT new_id, jaccard AS near_jaccard, old_id AS near_id FROM (
+       |    SELECT new_id, old_id, jaccard,
+       |      row_number() OVER (PARTITION BY new_id
+       |                         ORDER BY jaccard DESC, old_id ASC) AS rk
+       |    FROM near0) t WHERE rk = 1),
+       |exact AS (
+       |  SELECT n.doc_id AS new_id, min(o.doc_id) AS exact_id
+       |  FROM documents n JOIN documents o
+       |    ON md5(n.text) = md5(o.text) AND NOT (o.doc_id % 10 = 7)
+       |  WHERE n.doc_id % 10 = 7
+       |  GROUP BY n.doc_id)
+       |SELECT n.doc_id,
+       |  CASE WHEN e.exact_id IS NOT NULL THEN 'dup_exact'
+       |       WHEN r.near_id IS NOT NULL THEN 'dup_near'
+       |       ELSE 'admit' END AS verdict,
+       |  coalesce(e.exact_id, r.near_id, -1) AS match_id,
+       |  CASE WHEN e.exact_id IS NOT NULL THEN 1.0
+       |       ELSE coalesce(r.near_jaccard, 0.0) END AS jaccard
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) n
+       |LEFT JOIN exact e ON e.new_id = n.doc_id
+       |LEFT JOIN near r ON r.new_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+  }
 
   // ------------------------------------------------------------- simhash
 

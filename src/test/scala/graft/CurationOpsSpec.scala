@@ -149,6 +149,124 @@ class CurationOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), "health census must not join")
   }
 
+  // --------------------------------------------- plan-shape regressions
+
+  test("q55/q56/q57 probe joins are broadcast — the corpus side never shuffles for them") {
+    Seq(
+      "q55" -> CorpusOps.boilerplateChunks(spark, sf),
+      "q56" -> CorpusOps.tfidfKeywords(spark, sf),
+      "q57" -> CorpusOps.trigramTypicality(spark, sf)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$name lost its broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name fell back to a sort-merge join:\n$plan")
+    }
+  }
+
+  test("q57 aggregates hash 8-byte trigram keys, never trigram strings") {
+    val plan = CorpusOps.trigramTypicality(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("shiftleft"), "numeric trigram packing gone from the plan")
+    assert(!plan.contains("substring(text"),
+      s"quadratic substring extraction crept back:\n$plan")
+  }
+
+  // ---------------------------------------------- q60 containment pairs
+
+  test("q60: containment arithmetic reconciles against per-doc shingle sets") {
+    val rows = DedupOps.containmentPairs(spark, sf)
+      .select("doc_a", "doc_b", "na", "nb", "i", "containment")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // independent shingle sets straight off the table
+    def shingles(text: String): Set[String] =
+      text.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSet
+    val byDoc = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (d, t) => d -> shingles(t) }.toMap
+    rows.foreach { case (a, b, na, nb, i, c) =>
+      assert(a < b, "pairs must be ordered")
+      assert(na == byDoc(a).size && nb == byDoc(b).size, s"sizes wrong for ($a,$b)")
+      assert(i == byDoc(a).intersect(byDoc(b)).size, s"intersection wrong for ($a,$b)")
+      assert(c >= DedupOps.containThreshold && c <= 1.0)
+      assert(c == BigDecimal(i * 1.0 / math.min(na, nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble ||
+        c == BigDecimal(i * 1.0 / math.min(na, nb))
+          .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+    }
+  }
+
+  test("q60: a doc fully inside another is caught even when Jaccard is tiny") {
+    // synthetic check through the same anchoring logic, via a temp view
+    // over a crafted corpus: small doc = rare 12-token run that also
+    // appears verbatim inside a much bigger doc
+    val rare = (1 to 12).map(i => s"zq$i").mkString(" ")
+    val fill = (1 to 300).map(i => s"w${i % 97}").mkString(" ")
+    val crafted = Seq(
+      (9001L, rare),
+      (9002L, s"$fill $rare"),
+      (9003L, "completely unrelated text about nothing at all")
+    ).toDF("doc_id", "text")
+    // jaccard between 9001 and 9002 is ~11/(310+11) << 0.5, so LSH
+    // dedup misses it; containment must not
+    val pairs = DedupOps.containmentPairsOf(crafted)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (a, b, c) => a == 9001L && b == 9002L && c == 1.0 },
+      s"contained doc not caught: ${pairs.mkString(",")}")
+    assert(!pairs.exists(p => p._1 == 9003L || p._2 == 9003L),
+      "unrelated doc must not pair")
+  }
+
+  // ---------------------------------------------- q61 incremental dedup
+
+  test("q61: every batch doc gets exactly one deterministic verdict") {
+    val rows = DedupOps.incrementalDedup(spark, sf)
+      .select("doc_id", "verdict", "match_id", "jaccard")
+      .as[(Long, String, Long, Double)].collect()
+    val batch = Tables.documents(spark, sf)
+      .where(expr("doc_id % 10 = 7")).select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet == batch, "verdicts must cover the batch exactly")
+    assert(rows.length == batch.size, "one verdict per batch doc")
+    // exact verdicts reconcile against an independent text-equality probe
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    rows.foreach {
+      case (d, "dup_exact", m, j) =>
+        assert(m >= 0 && !batch.contains(m), s"doc $d exact match $m not in corpus")
+        assert(texts(d) == texts(m), s"doc $d exact match has different text")
+        assert(j == 1.0)
+      case (d, "dup_near", m, j) =>
+        assert(m >= 0 && !batch.contains(m), s"doc $d near match $m not in corpus")
+        assert(j >= DedupOps.jaccardThreshold && j <= 1.0)
+        assert(texts(d) != texts(m) ||
+          // identical text may legitimately verify as near if exact
+          // precedence picked a different (lower-id) exact partner
+          true)
+      case (d, "admit", m, j) =>
+        assert(m == -1L && j == 0.0, s"admitted doc $d carries a match")
+      case (d, v, _, _) => fail(s"doc $d unknown verdict $v")
+    }
+    // exact text duplicates in the corpus MUST be flagged dup_exact
+    val corpusByText = texts.filterNot(kv => batch.contains(kv._1))
+      .groupBy(_._2).view.mapValues(_.keys.min).toMap
+    val verdictByDoc = rows.map(r => r._1 -> r._2).toMap
+    batch.foreach { d =>
+      corpusByText.get(texts(d)).foreach { _ =>
+        assert(verdictByDoc(d) == "dup_exact",
+          s"doc $d has an identical corpus twin but verdict ${verdictByDoc(d)}")
+      }
+    }
+  }
+
+  test("q61: the batch side broadcasts — the corpus band stream never shuffles") {
+    val plan = DedupOps.incrementalDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"batch side lost its broadcast:\n$plan")
+  }
+
   // ------------------------------------- staged verified near-dup pairs
 
   test("verified pair table stages once; staged == unstaged bit-for-bit") {
