@@ -321,10 +321,11 @@ object CorpusOps {
     *
     * Scale shape: one explode (narrow), one hash-agg on the chunk hash
     * for document frequency, and a join back to the chunk stream. The
-    * frequent-chunk set is a tiny fraction of all chunks (that is what
-    * makes it boilerplate), so it broadcasts and the chunk stream
-    * shuffles only for the final per-doc count. Chunk identity travels
-    * as an 8-byte xxhash64 in the Spark plan, never the chunk string. */
+    * frequent-chunk set is a small fraction of all chunks (that is
+    * what makes it boilerplate) but grows with the corpus, so the
+    * probe join is hint-free: AQE broadcasts it while it fits and
+    * shuffle-joins past that. Chunk identity travels as an 8-byte
+    * xxhash64 in the Spark plan, never the chunk string. */
   def boilerplateChunks(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
@@ -338,7 +339,13 @@ object CorpusOps {
       .where(col("df") >= boilerDf)
       .select("ch")
     val perDoc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-    val boilCnt = chunks.join(broadcast(boiler), "ch")
+    // no broadcast HINT on the frequent-chunk set: unlike the Zipf
+    // head (q54) or a charset-bounded table (q57), the set of chunks
+    // shared by >= 2 docs grows with the corpus. AQE broadcasts it
+    // while it fits (it does at every test SF) and falls back to a
+    // shuffle join when a 100 TB run's boilerplate set outgrows the
+    // driver — forcing the hint would make that run OOM instead.
+    val boilCnt = chunks.join(boiler, "ch")
       .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
     perDoc.join(boilCnt, Seq("doc_id"), "left")
       .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
@@ -386,8 +393,8 @@ object CorpusOps {
     * over the DISTINCT (doc_id, term) stream which REUSES the tf
     * result (no second pass over the corpus); the df table (one row
     * per vocabulary term — Heaps' law: sublinear in corpus size)
-    * broadcasts back. Top-k is a per-doc window over tf rows, never a
-    * global sort. */
+    * joins back hint-free, broadcast while it fits. Top-k is a
+    * per-doc window over tf rows, never a global sort. */
   def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, sfDir)
@@ -396,7 +403,11 @@ object CorpusOps {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score_ppm").desc, col("term").asc)
-    tf.join(broadcast(df), "term")
+    // vocabulary grows with the corpus (Heaps' law — sublinear but
+    // unbounded), so the df join carries no broadcast hint: AQE
+    // broadcasts while the vocabulary fits and shuffle-joins on the
+    // term beyond that
+    tf.join(df, "term")
       .withColumn("score_ppm", expr("tf * 1000000 div df"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= tfidfTopK)

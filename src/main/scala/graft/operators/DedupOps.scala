@@ -152,7 +152,7 @@ object DedupOps {
     * array; guards single-token docs. Tokenizing once into a column
     * matters: referencing split() inline inside the transform lambda
     * re-evaluates it per element — measured 6x slower. */
-  private val bigramsE =
+  private[graft] val bigramsE =
     """case when size(toks) < 2 then cast(array() as array<string>)
       |else array_distinct(transform(sequence(1, size(toks) - 1),
       |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) end""".stripMargin
@@ -253,6 +253,12 @@ object DedupOps {
           .orderBy("doc_a", "doc_b")
     }
 
+  /** MinHash signatures over an arbitrary `(doc_id, text)` frame — the
+    * library entry for corpora not staged under a testdata dir. */
+  def minhashSignaturesOf(docs: DataFrame,
+                          p: MinHashParams = defaultParams): DataFrame =
+    signaturesFrom(shinglesOf(docs), p)
+
   /** LSH candidates over an arbitrary `(doc_id, text)` frame — the
     * library entry for corpora not staged under a testdata dir; no
     * read-through staging, explicit skew guard. */
@@ -266,13 +272,13 @@ object DedupOps {
 
   /** SQL expr producing the band-key array from the `__sig` array
     * column: band b's key is "b_mh.._mh" over its rowsPerBand slice. */
-  private def bandArrayExpr(p: MinHashParams): String =
+  private[graft] def bandArrayExpr(p: MinHashParams): String =
     s"""transform(sequence(0, ${p.numBands - 1}), b -> concat(b, '_',
        |  concat_ws('_', transform(slice(__sig, b * ${p.rowsPerBand} + 1, ${p.rowsPerBand}),
        |                           e -> cast(e as string)))))""".stripMargin
 
   /** (doc_id, bk) band-key stream of a signature frame (mh0..mhN cols). */
-  private def bandKeysOf(sig: DataFrame, p: MinHashParams): DataFrame =
+  private[graft] def bandKeysOf(sig: DataFrame, p: MinHashParams): DataFrame =
     sig.select(col("doc_id"),
         array((0 until p.numHashes).map(i => col(s"mh$i")): _*).as("__sig"))
       .select(col("doc_id"), explode(expr(bandArrayExpr(p))).as("bk"))

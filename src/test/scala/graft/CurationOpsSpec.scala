@@ -151,17 +151,19 @@ class CurationOpsSpec extends SparkSpec {
 
   // --------------------------------------------- plan-shape regressions
 
-  test("q55/q56/q57 probe joins are broadcast — the corpus side never shuffles for them") {
+  test("q55/q56/q57 probe joins are broadcast at test scale — q55/q56 via AQE, q57 by hint") {
+    // q57's freq table is charset^3-bounded → broadcast is forced;
+    // q55's boilerplate set and q56's vocabulary grow with the corpus
+    // → hint-free, and AQE must still pick broadcast at this size
     Seq(
       "q55" -> CorpusOps.boilerplateChunks(spark, sf),
       "q56" -> CorpusOps.tfidfKeywords(spark, sf),
       "q57" -> CorpusOps.trigramTypicality(spark, sf)
     ).foreach { case (name, df) =>
+      df.count() // let AQE finalize the adaptive plan
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
         s"$name lost its broadcast join:\n$plan")
-      assert(!plan.contains("SortMergeJoin"),
-        s"$name fell back to a sort-merge join:\n$plan")
     }
   }
 
