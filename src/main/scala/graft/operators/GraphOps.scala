@@ -42,9 +42,13 @@ object GraphOps {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LAZY checkpoints throughout: the convergence sum is the round's
+    // only action, so it materializes the checkpoint in the same Spark
+    // job — one pass over the labels per round instead of two (eager
+    // checkpoint job + sum job)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Convergence check without a per-round join: min-propagation is
     // monotone (lbl never increases, the vertex set is fixed), so ANY
     // label change strictly decreases sum(lbl) — equal sums ⇔ fixpoint.
@@ -60,7 +64,7 @@ object GraphOps {
         .select(und("dst").as("id"), labels("lbl").as("lbl"))
         .unionByName(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextSum = lblSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
