@@ -138,6 +138,10 @@ object SparkEntry {
     "q60_containment" -> DedupOps.containmentPairs _,
     // dedup: incremental batch-vs-corpus admission (exact + near verdicts)
     "q61_incremental_dedup" -> DedupOps.incrementalDedup _,
+    // curation analytics: cross-source duplication matrix
+    "q62_source_overlap" -> DedupOps.sourceOverlapMatrix _,
+    // curation analytics: per-stage survival funnel (composition proof)
+    "q63_curation_funnel" -> CorpusOps.curationFunnel _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -204,5 +208,7 @@ object SparkEntry {
     "q59_embedding_health" -> graft.operators.EmbeddingOps.embeddingHealthSql,
     "q60_containment" -> DedupOps.containmentPairsSql,
     "q61_incremental_dedup" -> DedupOps.incrementalDedupSql,
+    "q62_source_overlap" -> DedupOps.sourceOverlapMatrixSql,
+    "q63_curation_funnel" -> CorpusOps.curationFunnelSql,
   )
 }

@@ -551,6 +551,67 @@ object CorpusOps {
        |FROM c ORDER BY epoch, doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- curation funnel
+
+  /** q63: the curation funnel — one row per pipeline stage with the
+    * surviving document count: raw → exact dedup → near dedup (the
+    * q32 keep-list) → quality filter (q51 pass) → decontamination
+    * (q48: non-benchmark and not contaminated). The report every
+    * curation run publishes: where documents die, at a glance — and a
+    * composition proof that the stage operators agree on membership.
+    *
+    * Scale shape: each stage is an existing operator's subtree (all
+    * staged/bounded as documented on each); the funnel adds only
+    * count aggregates and doc_id semi-joins between them. */
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    // One pass: per-doc stage-membership flags assembled by left
+    // semi-style joins (no action each), ONE aggregate produces every
+    // stage count, and `stack` unpivots to the report rows — a funnel
+    // over any corpus size costs one job, not one job per stage.
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val keeper = docs.withColumn("keeper", min(col("doc_id")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+    val flags = keeper
+      .join(DedupOps.dedupKeepList(spark, sfDir).select("doc_id")
+              .withColumn("f_near", lit(true)), Seq("doc_id"), "left")
+      .join(qualityFilter(spark, sfDir).where(col("pass") === 1)
+              .select("doc_id").withColumn("f_q", lit(true)), Seq("doc_id"), "left")
+      .join(decontaminate(spark, sfDir).where(col("contaminated") === 0)
+              .select("doc_id").withColumn("f_dc", lit(true)), Seq("doc_id"), "left")
+    flags.agg(
+        count(lit(1)).as("c_raw"),
+        sum(when(col("doc_id") === col("keeper"), 1L).otherwise(0L)).as("c_exact"),
+        sum(when(col("f_near"), 1L).otherwise(0L)).as("c_near"),
+        sum(when(col("f_near") && col("f_q"), 1L).otherwise(0L)).as("c_q"),
+        sum(when(col("f_near") && col("f_q") && col("f_dc"), 1L)
+          .otherwise(0L)).as("c_dc"))
+      .selectExpr(
+        """stack(5,
+          |  0, 'raw',         c_raw,
+          |  1, 'exact_dedup', c_exact,
+          |  2, 'near_dedup',  c_near,
+          |  3, 'quality',     c_q,
+          |  4, 'decontam',    c_dc) AS (stage_idx, stage, n_docs)""".stripMargin)
+      .orderBy("stage_idx")
+  }
+
+  val curationFunnelSql: String = {
+    def sub(q: String): String = q.replaceAll("ORDER BY[^)]*$", "")
+    s"""WITH keep AS (SELECT doc_id FROM (${sub(DedupOps.dedupKeepListSql)})),
+       |qf AS (SELECT doc_id FROM (${sub(qualityFilterSql)}) WHERE pass = 1),
+       |dc AS (SELECT doc_id FROM (${sub(decontaminateSql)}) WHERE contaminated = 0)
+       |SELECT 0 AS stage_idx, 'raw' AS stage,
+       |  (SELECT count(*) FROM documents) AS n_docs
+       |UNION ALL SELECT 1, 'exact_dedup',
+       |  (SELECT count(DISTINCT md5(text)) FROM documents)
+       |UNION ALL SELECT 2, 'near_dedup', (SELECT count(*) FROM keep)
+       |UNION ALL SELECT 3, 'quality',
+       |  (SELECT count(*) FROM keep JOIN qf USING (doc_id))
+       |UNION ALL SELECT 4, 'decontam',
+       |  (SELECT count(*) FROM keep JOIN qf USING (doc_id) JOIN dc USING (doc_id))
+       |ORDER BY stage_idx""".stripMargin
+  }
+
   val rareTokenFilterSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

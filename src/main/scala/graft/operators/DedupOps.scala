@@ -567,6 +567,67 @@ object DedupOps {
        |  count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
        |FROM lbls l ORDER BY l.doc_id""".stripMargin
 
+  // --------------------------------------------- cross-source overlap
+
+  /** q62: cross-source duplication matrix — for every pair of sources,
+    * how many duplicate pairs (exact + verified near) cross them. The
+    * curation dashboard that decides which crawls to drop or
+    * re-prioritize: two sources sharing most of their content should
+    * not both be ingested at full rate.
+    *
+    * Scale shape: pure post-processing of the STAGED verified-pair
+    * table plus the linear exact-dup star — pair volume, not corpus
+    * volume; the doc→source attachment is a join against a two-column
+    * projection of the corpus, and the final matrix is one tiny
+    * aggregate (sources², a constant). */
+  def sourceOverlapMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+    val exactPairs = docs.where(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("doc_a"), col("doc_id").as("doc_b"))
+    val pairs = jaccardVerify(spark, sfDir).select("doc_a", "doc_b")
+      .unionByName(exactPairs).distinct()
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source")
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+              greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapMatrixSql: String =
+    s"""${duckSigCte(defaultParams)}
+       |${duckBandsCte(defaultParams)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM vcand c
+       |  JOIN bg x ON x.doc_id = c.doc_a
+       |  JOIN bg y ON y.doc_id = c.doc_b AND y.s = x.s
+       |  GROUP BY c.doc_a, c.doc_b),
+       |near_pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= $jaccardThreshold),
+       |exact_pairs AS (
+       |  SELECT keeper AS doc_a, doc_id AS doc_b FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |    FROM documents) t
+       |  WHERE doc_id <> keeper),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM near_pairs
+       |  UNION SELECT doc_a, doc_b FROM exact_pairs)
+       |SELECT least(da.source, db.source) AS source_a,
+       |  greatest(da.source, db.source) AS source_b,
+       |  count(*) AS n_pairs
+       |FROM pairs
+       |JOIN documents da ON da.doc_id = pairs.doc_a
+       |JOIN documents db ON db.doc_id = pairs.doc_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------- containment dedup
 
   private val anchorK = 3      // rarest shingles per doc used as anchors

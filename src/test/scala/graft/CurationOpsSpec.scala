@@ -269,6 +269,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"batch side lost its broadcast:\n$plan")
   }
 
+  // ---------------------------------------------- q62 source overlap
+
+  test("q62: matrix is ordered, positive, and accounts for every dup pair") {
+    val m = DedupOps.sourceOverlapMatrix(spark, sf)
+      .select("source_a", "source_b", "n_pairs")
+      .as[(String, String, Long)].collect()
+    assert(m.nonEmpty)
+    m.foreach { case (a, b, n) =>
+      assert(a <= b, "matrix keys must be ordered")
+      assert(n >= 1)
+    }
+    // total pairs == distinct union of exact + verified near pairs
+    val near = DedupOps.jaccardVerify(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val exact = texts.groupBy(_._2).values.filter(_.size > 1)
+      .flatMap { g => val k = g.map(_._1).min; g.map(_._1).filter(_ != k).map(k -> _) }
+      .toSet
+    assert(m.map(_._3).sum == (near ++ exact).size,
+      "matrix mass must equal the distinct dup-pair count")
+  }
+
+  // ---------------------------------------------- q63 curation funnel
+
+  test("q63: funnel is monotone and each stage agrees with its operator") {
+    val f = CorpusOps.curationFunnel(spark, sf)
+      .select("stage_idx", "stage", "n_docs")
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(f.map(_._2).toSeq ==
+      Seq("raw", "exact_dedup", "near_dedup", "quality", "decontam"))
+    f.sliding(2).foreach { case Array((_, s1, n1), (_, s2, n2)) =>
+      assert(n2 <= n1, s"funnel grew from $s1 ($n1) to $s2 ($n2)")
+    case _ => ()
+    }
+    val byStage = f.map(x => x._2 -> x._3).toMap
+    assert(byStage("raw") == Tables.documents(spark, sf).count())
+    assert(byStage("near_dedup") == DedupOps.dedupKeepList(spark, sf).count())
+    assert(byStage("decontam") >= 1, "funnel must not collapse to zero")
+  }
+
   // ------------------------------------- staged verified near-dup pairs
 
   test("verified pair table stages once; staged == unstaged bit-for-bit") {
