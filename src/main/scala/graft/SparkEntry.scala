@@ -142,6 +142,8 @@ object SparkEntry {
     "q62_source_overlap" -> DedupOps.sourceOverlapMatrix _,
     // curation analytics: per-stage survival funnel (composition proof)
     "q63_curation_funnel" -> CorpusOps.curationFunnel _,
+    // beyond-reference: exact per-group percentiles by rank selection
+    "q64_lang_percentiles" -> RelationalOps.langLengthPercentiles _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -210,5 +212,6 @@ object SparkEntry {
     "q61_incremental_dedup" -> DedupOps.incrementalDedupSql,
     "q62_source_overlap" -> DedupOps.sourceOverlapMatrixSql,
     "q63_curation_funnel" -> CorpusOps.curationFunnelSql,
+    "q64_lang_percentiles" -> RelationalOps.langLengthPercentilesSql,
   )
 }

@@ -181,4 +181,53 @@ object RelationalOps {
   val dedupExactSql: String =
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
       |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
+
+  /** Exact per-group percentiles by rank selection: the value at rank
+    * ceil(q * n) of the group's ascending sort (percentile_disc
+    * semantics — an ACTUAL group element, so integer columns stay
+    * exact and the oracle reproduces every value bit-for-bit, unlike
+    * interpolating `percentile` or sketch-based `approx_percentile`).
+    *
+    * Scale shape: one shuffle on the group key; each group sorts
+    * independently inside its partition (window per group, never a
+    * global sort). Groups far larger than a partition want the
+    * two-pass variant (per-partition histograms, then rank lookup) —
+    * same rank-selection semantics, which is why the census pins them
+    * here. */
+  def percentilesBy(df: DataFrame, groupCol: String, valueCol: String,
+                    qs: Seq[Double]): DataFrame = {
+    // row_number's tie order is partition-dependent, but tied rows
+    // carry the SAME value, so the value selected at any rank is
+    // deterministic — no tiebreak column needed
+    val ranked = df
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col(valueCol).asc)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val picks = qs.map { q =>
+      max(when(col("__rank") === expr(s"cast(ceil($q * __n) as int)"),
+        col(valueCol))).as(s"p${(q * 100).round}")
+    }
+    ranked.groupBy(groupCol).agg(picks.head, picks.tail: _*)
+  }
+
+  /** q64: per-language document-length percentiles — the corpus-shape
+    * summary (median/tails per stratum) every curation dashboard
+    * opens with. */
+  def langLengthPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    percentilesBy(Tables.documents(spark, sfDir), "lang", "n_chars",
+        Seq(0.25, 0.5, 0.75, 1.0))
+      .orderBy("lang")
+
+  val langLengthPercentilesSql: String =
+    """WITH ranked AS (
+      |  SELECT lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS rk,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT lang,
+      |  max(CASE WHEN rk = CAST(ceil(0.25 * n) AS INT) THEN n_chars END) AS p25,
+      |  max(CASE WHEN rk = CAST(ceil(0.5 * n) AS INT) THEN n_chars END) AS p50,
+      |  max(CASE WHEN rk = CAST(ceil(0.75 * n) AS INT) THEN n_chars END) AS p75,
+      |  max(CASE WHEN rk = CAST(ceil(1.0 * n) AS INT) THEN n_chars END) AS p100
+      |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -310,6 +310,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(byStage("decontam") >= 1, "funnel must not collapse to zero")
   }
 
+  // ------------------------------------------- q64 exact percentiles
+
+  test("q64: rank-selected percentiles match a driver-side exact sort") {
+    val got = graft.operators.RelationalOps.langLengthPercentiles(spark, sf)
+      .select("lang", "p25", "p50", "p75", "p100")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val byLang = Tables.documents(spark, sf)
+      .select("lang", "n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.map(_._1).toSet == byLang.keySet)
+    got.foreach { case (l, p25, p50, p75, p100) =>
+      val v = byLang(l)
+      def pick(q: Double): Long = v(math.ceil(q * v.length).toInt - 1)
+      assert(p25 == pick(0.25) && p50 == pick(0.5) &&
+             p75 == pick(0.75) && p100 == v.last,
+        s"lang $l percentiles ($p25,$p50,$p75,$p100) != exact sort")
+    }
+  }
+
   // ------------------------------------- staged verified near-dup pairs
 
   test("verified pair table stages once; staged == unstaged bit-for-bit") {

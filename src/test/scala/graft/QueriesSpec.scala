@@ -22,6 +22,9 @@ class QueriesSpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list explicit so nothing silently loses its oracle
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+    // and no orphaned oracle: a typo'd key would silently skip the compare
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
   }
 
   test("pricing summary groups are complete") {
