@@ -524,7 +524,7 @@ object DedupOps {
       .select(col("keeper").as("src"), col("doc_id").as("dst"))
     val nearPairs = jaccardVerify(spark, sfDir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val comps = GraphOps.connectedComponents(exactPairs.unionByName(nearPairs))
+    val comps = GraphOps.connectedComponentsAuto(exactPairs.unionByName(nearPairs))
     GraphOps.labelVertices(docs.select("doc_id"), "doc_id", comps)
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")))

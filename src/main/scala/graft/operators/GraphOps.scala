@@ -80,6 +80,93 @@ object GraphOps {
     labels
   }
 
+  /** Connected components by large-star/small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log n) rounds on ANY graph shape —
+    * the safety net for adversarially long paths where min-label
+    * propagation ([[connectedComponents]]) needs diameter-many
+    * rounds. Same contract: one `(id, lbl)` row per vertex that
+    * appears in an edge, `lbl` = component minimum.
+    *
+    * Round body, both halves one groupBy + one re-emit:
+    *  - large-star: every node u computes m = min(N(u) ∪ u) and
+    *    re-points its LARGER neighbors at m — long tails collapse
+    *    toward small ids without ever breaking connectivity;
+    *  - small-star: u re-points its smaller-or-equal neighbors
+    *    (and itself) at m — stars around local minima merge.
+    * The edge set is kept symmetric between rounds; the fixpoint is
+    * a stable edge set (each component collapsed to a star around its
+    * minimum), detected by an order-independent edge checksum. */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    require(edges.columns.contains("src") && edges.columns.contains("dst"),
+      s"edges needs src/dst columns, got ${edges.columns.mkString(",")}")
+    // parent[v]: current pointer, starts as v's neighborhood minimum
+    def neighborhoodMin(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .unionByName(e.select(col("src"), col("src").as("dst")))
+        .unionByName(e.select(col("dst").as("src"), col("dst").as("dst")))
+        .groupBy("src").agg(min("dst").as("m"))
+    // fixpoint = the edge SET stops changing; checked with an
+    // order-independent checksum (count + decimal sum of per-edge
+    // hashes) — one tiny aggregate over the shrinking edge set,
+    // robust regardless of per-round label monotonicity
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var e = edges.select("src", "dst").where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(false)
+    if (e.isEmpty) return e.select(col("src").as("id"), col("dst").as("lbl"))
+    var prev: (Long, java.math.BigDecimal) = (-1L, java.math.BigDecimal.valueOf(-1))
+    var iter = 0
+    var parents: DataFrame = null
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star: (v, m(u)) for v in N(u), v > u
+      val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = neighborhoodMin(e)
+      val large = und.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val e1 = large.where(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(false)
+      // small-star: (v, m(u)) for v in N(u) with v <= u, plus (u, m(u))
+      val und1 = e1.unionByName(e1.select(col("dst").as("src"), col("src").as("dst")))
+      val mins1 = neighborhoodMin(e1)
+      val small = und1.join(mins1, "src")
+        .where(col("dst") <= col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(mins1.select(col("src"), col("m").as("dst")))
+      e = small.where(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(false)
+      val s = checksum(e)
+      converged = s._1 == prev._1 && s._2.compareTo(prev._2) == 0
+      prev = s
+      iter += 1
+    }
+    parents = neighborhoodMin(e)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter rounds")
+    // at the fixpoint every node's neighborhood min IS the component
+    // min: edges form stars around the minima
+    parents.select(col("src").as("id"), col("m").as("lbl"))
+  }
+
+  /** Total connected components: min-label propagation first (cheapest
+    * on the shallow star-shaped graphs dedup produces), star
+    * contraction as the fallback when the diameter exceeds
+    * `propagationIter` — the operator never fails on an adversarial
+    * chain, it just switches algorithm. */
+  def connectedComponentsAuto(edges: DataFrame,
+                              propagationIter: Int = 10,
+                              maxIter: Int = 50): DataFrame =
+    try connectedComponents(edges, propagationIter)
+    catch {
+      case _: IllegalStateException => connectedComponentsStar(edges, maxIter)
+    }
+
   /** Attach component labels to a full vertex set: vertices absent from
     * the edge set keep their own id (singleton clusters). `vertices`
     * must expose `idCol`; output adds `cluster_id`. */

@@ -39,6 +39,55 @@ class CorpusOpsSpec extends SparkSpec {
   test("connectedComponents of an empty edge set is empty") {
     val none = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(GraphOps.connectedComponents(none).count() == 0)
+    assert(GraphOps.connectedComponentsStar(none).count() == 0)
+  }
+
+  test("star-contraction CC matches min-label on mixed shapes") {
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (21L, 20L)).toDF("src", "dst")
+    val star = GraphOps.connectedComponentsStar(edges)
+      .as[(Long, Long)].collect().toMap
+    val prop = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+  }
+
+  test("star-contraction CC converges on a path far longer than the round bound") {
+    // a 200-edge path needs ~200 min-label rounds (> maxIter=50) but
+    // O(log n) star rounds — this is exactly the adversarial shape the
+    // alternation exists for (gradual-drift duplicate chains)
+    val path = (1L to 200L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("src", "dst")
+    intercept[IllegalStateException] {
+      GraphOps.connectedComponents(path, maxIter = 40)
+    }
+    val star = GraphOps.connectedComponentsStar(path, maxIter = 40)
+      .as[(Long, Long)].collect()
+    assert(star.length == 200 && star.forall(_._2 == 1L),
+      "star contraction must collapse the whole path to component 1")
+  }
+
+  test("auto CC falls back to star contraction past the propagation bound") {
+    val path = (1L to 120L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("src", "dst")
+    val auto = GraphOps.connectedComponentsAuto(path, propagationIter = 5)
+      .as[(Long, Long)].collect()
+    assert(auto.length == 120 && auto.forall(_._2 == 1L))
+  }
+
+  test("star-contraction CC equals min-label on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("src", "dst")
+      val star = GraphOps.connectedComponentsStar(df).as[(Long, Long)].collect().toMap
+      val prop = GraphOps.connectedComponents(df).as[(Long, Long)].collect().toMap
+      assert(star == prop, s"trial $trial diverged")
+    }
   }
 
   test("labelVertices keeps singletons as their own cluster") {
