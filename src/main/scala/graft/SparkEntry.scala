@@ -144,6 +144,8 @@ object SparkEntry {
     "q63_curation_funnel" -> CorpusOps.curationFunnel _,
     // beyond-reference: exact per-group percentiles by rank selection
     "q64_lang_percentiles" -> RelationalOps.langLengthPercentiles _,
+    // beyond-reference: ordered event funnel (view -> click -> purchase)
+    "q65_event_funnel" -> WindowOps.eventFunnel _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -213,5 +215,6 @@ object SparkEntry {
     "q62_source_overlap" -> DedupOps.sourceOverlapMatrixSql,
     "q63_curation_funnel" -> CorpusOps.curationFunnelSql,
     "q64_lang_percentiles" -> RelationalOps.langLengthPercentilesSql,
+    "q65_event_funnel" -> WindowOps.eventFunnelSql,
   )
 }

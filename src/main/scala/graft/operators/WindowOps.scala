@@ -151,4 +151,62 @@ object WindowOps {
       |  ON s.user_id = p.user_id
       | AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 24 HOUR
       |ORDER BY user_id, signup_id, purchase_id""".stripMargin
+
+  /** q65: ordered event funnel — per user, the earliest view, the
+    * earliest click strictly after that view, the earliest purchase
+    * strictly after that click; reported as per-stage user counts with
+    * step conversion in per-mille. The product-analytics staple that
+    * needs ORDER among events, not just co-occurrence (windowJoin) or
+    * proximity (intervalJoin).
+    *
+    * Scale shape: three per-user min-aggregates chained by equi-joins
+    * on user_id — every stage is key-partitioned on the same key, so
+    * a cluster plans one shuffle and co-partitioned joins after it;
+    * no window over the raw event stream, no per-user state. */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_type", "ts")
+    def first(tpe: String): DataFrame = ev.where(col("event_type") === tpe)
+      .groupBy("user_id").agg(min("ts").as(s"t_$tpe"))
+    val v = first("view")
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    val counts = v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    counts.selectExpr(
+        """stack(3,
+          |  0, 'view',     n_view,     1000L,
+          |  1, 'click',    n_click,    n_click * 1000 div n_view,
+          |  2, 'purchase', n_purchase, n_purchase * 1000 div n_click
+          |) AS (stage_idx, stage, n_users, conv_pm)""".stripMargin)
+      .orderBy("stage_idx")
+  }
+
+  val eventFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |  GROUP BY e.user_id),
+      |n AS (
+      |  SELECT (SELECT count(*) FROM v) AS n_view,
+      |         (SELECT count(*) FROM c) AS n_click,
+      |         (SELECT count(*) FROM p) AS n_purchase)
+      |SELECT 0 AS stage_idx, 'view' AS stage, n_view AS n_users,
+      |  CAST(1000 AS BIGINT) AS conv_pm FROM n
+      |UNION ALL SELECT 1, 'click', n_click, n_click * 1000 // n_view FROM n
+      |UNION ALL SELECT 2, 'purchase', n_purchase, n_purchase * 1000 // n_click FROM n
+      |ORDER BY stage_idx""".stripMargin
 }

@@ -310,6 +310,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(byStage("decontam") >= 1, "funnel must not collapse to zero")
   }
 
+  // ------------------------------------------------ q65 event funnel
+
+  test("q65: ordered funnel matches a driver-side sequential replay") {
+    val f = graft.operators.WindowOps.eventFunnel(spark, sf)
+      .select("stage", "n_users", "conv_pm").as[(String, Long, Long)].collect()
+    assert(f.map(_._1).toSeq == Seq("view", "click", "purchase"))
+    val byStage = f.map(x => x._1 -> x._2).toMap
+    assert(byStage("view") >= byStage("click") &&
+           byStage("click") >= byStage("purchase"), "funnel must be monotone")
+    // independent replay: per user, scan events in time order and walk
+    // the state machine view -> click -> purchase
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)].collect()
+      .groupBy(_._1)
+    var (nv, nc, np) = (0L, 0L, 0L)
+    events.foreach { case (_, evs) =>
+      var stage = 0
+      evs.sortBy(e => (e._3.getTime, e._3.getNanos)).foreach { case (_, t, _) =>
+        if (stage == 0 && t == "view") stage = 1
+        else if (stage == 1 && t == "click") stage = 2
+        else if (stage == 2 && t == "purchase") stage = 3
+      }
+      if (stage >= 1) nv += 1; if (stage >= 2) nc += 1; if (stage >= 3) np += 1
+    }
+    assert(byStage("view") == nv && byStage("click") == nc &&
+           byStage("purchase") == np,
+      s"funnel (${byStage("view")},${byStage("click")},${byStage("purchase")}) " +
+        s"!= replay ($nv,$nc,$np)")
+  }
+
   // ------------------------------------------- q64 exact percentiles
 
   test("q64: rank-selected percentiles match a driver-side exact sort") {
