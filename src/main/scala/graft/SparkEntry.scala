@@ -146,6 +146,8 @@ object SparkEntry {
     "q64_lang_percentiles" -> RelationalOps.langLengthPercentiles _,
     // beyond-reference: ordered event funnel (view -> click -> purchase)
     "q65_event_funnel" -> WindowOps.eventFunnel _,
+    // beyond-reference: weekly cohort retention triangle
+    "q66_cohort_retention" -> WindowOps.cohortRetention _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -216,5 +218,6 @@ object SparkEntry {
     "q63_curation_funnel" -> CorpusOps.curationFunnelSql,
     "q64_lang_percentiles" -> RelationalOps.langLengthPercentilesSql,
     "q65_event_funnel" -> WindowOps.eventFunnelSql,
+    "q66_cohort_retention" -> WindowOps.cohortRetentionSql,
   )
 }

@@ -209,4 +209,55 @@ object WindowOps {
       |UNION ALL SELECT 1, 'click', n_click, n_click * 1000 // n_view FROM n
       |UNION ALL SELECT 2, 'purchase', n_purchase, n_purchase * 1000 // n_click FROM n
       |ORDER BY stage_idx""".stripMargin
+
+  /** q66: weekly cohort retention — users cohorted by the week of
+    * their first signup; for each cohort and week offset k, how many
+    * were active (any event) in cohort week + k, as count and
+    * per-mille of cohort size. The second product-analytics staple
+    * after the funnel, and the classic "triangle" report.
+    *
+    * Scale shape: cohort assignment is one per-user min-aggregate;
+    * activity is a DISTINCT (user, week) aggregate (map-side combine
+    * collapses the event stream); both join on user_id — same-key
+    * shuffles a cluster co-partitions. The final matrix is
+    * cohorts × offsets, a constant-sized aggregate. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cohort = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+      .withColumn("cohort_week", date_trunc("week", col("t0"))).drop("t0")
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    val activity = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).as("act_week")).distinct()
+    cohort.join(activity, "user_id")
+      .withColumn("week_offset",
+        expr("cast(datediff(act_week, cohort_week) div 7 as int)"))
+      .where(col("week_offset") >= 0)
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(sizes, "cohort_week")
+      .withColumn("retention_pm", expr("n_active * 1000 div cohort_size"))
+      .select("cohort_week", "week_offset", "n_active", "cohort_size", "retention_pm")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |sizes AS (
+      |  SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY cohort_week),
+      |activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events),
+      |m AS (
+      |  SELECT c.cohort_week,
+      |    CAST(date_diff('day', c.cohort_week, a.act_week) // 7 AS INT) AS week_offset,
+      |    count(DISTINCT c.user_id) AS n_active
+      |  FROM cohort c JOIN activity a ON a.user_id = c.user_id
+      |  WHERE a.act_week >= c.cohort_week
+      |  GROUP BY 1, 2)
+      |SELECT m.cohort_week, m.week_offset, m.n_active, s.cohort_size,
+      |  m.n_active * 1000 // s.cohort_size AS retention_pm
+      |FROM m JOIN sizes s ON s.cohort_week = m.cohort_week
+      |ORDER BY m.cohort_week, m.week_offset""".stripMargin
 }

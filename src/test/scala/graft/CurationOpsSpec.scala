@@ -222,6 +222,18 @@ class CurationOpsSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("q60: degenerate corpus (1.2k identical docs) produces zero anchors, not n² pairs") {
+    // identical docs share every shingle, so each shingle's df is the
+    // group size — far above anchorMaxDf. The candidate definition
+    // itself refuses the blow-up: no anchors, no pairs, no quadratic
+    // join anywhere.
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val degenerate = (1L to 1200L).map(i => (i, text)).toDF("doc_id", "text")
+    val pairs = DedupOps.containmentPairsOf(degenerate)
+    assert(pairs.count() == 0,
+      "identical docs are exact-dedup's job; containment must not pair them")
+  }
+
   // ---------------------------------------------- q61 incremental dedup
 
   test("q61: every batch doc gets exactly one deterministic verdict") {
@@ -339,6 +351,26 @@ class CurationOpsSpec extends SparkSpec {
            byStage("purchase") == np,
       s"funnel (${byStage("view")},${byStage("click")},${byStage("purchase")}) " +
         s"!= replay ($nv,$nc,$np)")
+  }
+
+  // -------------------------------------------- q66 cohort retention
+
+  test("q66: offset-0 retention is total and later offsets are bounded") {
+    val rows = graft.operators.WindowOps.cohortRetention(spark, sf)
+      .select("cohort_week", "week_offset", "n_active", "cohort_size", "retention_pm")
+      .as[(java.sql.Timestamp, Int, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (cw, rs) =>
+      val week0 = rs.find(_._2 == 0)
+      // the signup event itself is activity in week 0
+      assert(week0.exists(r => r._3 == r._4 && r._5 == 1000L),
+        s"cohort $cw week-0 retention must be total: $week0")
+      rs.foreach { case (_, off, n, size, pm) =>
+        assert(off >= 0 && n >= 1 && n <= size)
+        assert(pm == n * 1000 / size && pm <= 1000)
+      }
+    }
   }
 
   // ------------------------------------------- q64 exact percentiles
