@@ -23,10 +23,15 @@ package graft
   * sys-prop.
   */
 object Bench {
-  // the queries that read the staged dedup tables
+  // the queries that read the staged dedup tables — including the
+  // heaviest consumers (scale-preset verify, clusters, containment,
+  // source overlap) so the staged-vs-unstaged attribution covers the
+  // cases where staging matters most
   private val stagedNames =
     Seq("q20_minhash_signatures", "q21_lsh_candidates", "q22_jaccard_verify",
-      "q23_simhash", "q24_simhash_pairs", "q32_dedup_keep_list")
+      "q23_simhash", "q24_simhash_pairs", "q32_dedup_keep_list",
+      "q44_jaccard_scale", "q47_dedup_clusters", "q60_containment",
+      "q62_source_overlap")
 
   private val reps = 3
 

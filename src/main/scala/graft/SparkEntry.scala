@@ -148,6 +148,9 @@ object SparkEntry {
     "q65_event_funnel" -> WindowOps.eventFunnel _,
     // beyond-reference: weekly cohort retention triangle
     "q66_cohort_retention" -> WindowOps.cohortRetention _,
+    // beyond-reference warehouse joins: TPC-H Q3/Q5 shapes
+    "q67_shipping_priority" -> RelationalOps.shippingPriority _,
+    "q68_local_supplier_volume" -> RelationalOps.localSupplierVolume _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,5 +222,7 @@ object SparkEntry {
     "q64_lang_percentiles" -> RelationalOps.langLengthPercentilesSql,
     "q65_event_funnel" -> WindowOps.eventFunnelSql,
     "q66_cohort_retention" -> WindowOps.cohortRetentionSql,
+    "q67_shipping_priority" -> RelationalOps.shippingPrioritySql,
+    "q68_local_supplier_volume" -> RelationalOps.localSupplierVolumeSql,
   )
 }

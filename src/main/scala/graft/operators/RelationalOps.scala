@@ -182,6 +182,99 @@ object RelationalOps {
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
       |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
 
+  /** q67: shipping-priority top-10 (TPC-H Q3 shape) — the canonical
+    * selective three-way join: a filtered dimension (one market
+    * segment of customers) joins orders then lineitem, aggregates
+    * exact revenue per order, and takes a bounded top-k.
+    *
+    * Scale shape: Catalyst pushes both date filters into the scans,
+    * broadcasts the filtered customer side under AQE, and the top-10
+    * is TakeOrdered (per-partition heaps + driver merge), never a
+    * global sort. Revenue is exact decimal so ordering is engine- and
+    * partition-stable. */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = "1998-01-01"
+    val cust = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") < lit(cutoff))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") > lit(cutoff))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** q68: local-supplier volume (TPC-H Q5 shape) — the canonical
+    * six-way join: region → nation → customer/supplier → orders →
+    * lineitem with the "customer and supplier in the same nation"
+    * equi-constraint, revenue per nation.
+    *
+    * Scale shape: region/nation are broadcast leaves; customer and
+    * supplier join on their shared nationkey constraint through the
+    * fact table; only orders⋈lineitem is a shuffle join at scale —
+    * exactly the plan shape a warehouse engine must produce, left to
+    * Catalyst + AQE rather than hand-ordered. */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val asia = Tables.region(spark, sfDir).where(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, sfDir)
+      .join(asia, col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("1996-01-01") &&
+             col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val localSupplierVolumeSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
   /** Exact per-group percentiles by rank selection: the value at rank
     * ceil(q * n) of the group's ascending sort (percentile_disc
     * semantics — an ACTUAL group element, so integer columns stay

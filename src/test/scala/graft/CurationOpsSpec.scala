@@ -392,6 +392,35 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------- q67/q68 warehouse join plans
+
+  test("q67: top-10 is TakeOrdered, dims broadcast, date filters reach the scan") {
+    val df = graft.operators.RelationalOps.shippingPriority(spark, sf)
+    assert(df.count() <= 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a heap take, not a global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dims must broadcast:\n$plan")
+    val scan = df.queryExecution.sparkPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_shipdate"),
+      "ship-date predicate must be pushed into the lineitem scan")
+  }
+
+  test("q68: six-way join stays broadcast at test scale; revenue ordering is stable") {
+    val df = graft.operators.RelationalOps.localSupplierVolume(spark, sf)
+    val rows = df.select("n_name", "revenue").as[(String, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq,
+      "revenue must be descending")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"all sides fit broadcast at this scale:\n$plan")
+    // rerun must produce the identical ordering (exact decimal revenue)
+    val again = graft.operators.RelationalOps.localSupplierVolume(spark, sf)
+      .select("n_name", "revenue").as[(String, Double)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
   // ------------------------------------- staged verified near-dup pairs
 
   test("verified pair table stages once; staged == unstaged bit-for-bit") {
