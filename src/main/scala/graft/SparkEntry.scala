@@ -151,6 +151,8 @@ object SparkEntry {
     // beyond-reference warehouse joins: TPC-H Q3/Q5 shapes
     "q67_shipping_priority" -> RelationalOps.shippingPriority _,
     "q68_local_supplier_volume" -> RelationalOps.localSupplierVolume _,
+    // beyond-reference: correlated scalar subqueries (TPC-H Q17 shape)
+    "q69_small_qty_revenue" -> EnrichOps.smallQuantityRevenue _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -224,5 +226,6 @@ object SparkEntry {
     "q66_cohort_retention" -> WindowOps.cohortRetentionSql,
     "q67_shipping_priority" -> RelationalOps.shippingPrioritySql,
     "q68_local_supplier_volume" -> RelationalOps.localSupplierVolumeSql,
+    "q69_small_qty_revenue" -> EnrichOps.smallQuantityRevenueSql,
   )
 }

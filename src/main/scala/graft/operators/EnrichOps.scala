@@ -114,4 +114,39 @@ object EnrichOps {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |WHERE o_totalprice > 300000 ORDER BY o_orderkey""".stripMargin
+
+  /** q69: small-quantity revenue per brand (TPC-H Q17 shape) — the
+    * correlated-scalar-subquery benchmark: each lineitem compares its
+    * quantity against 20% of ITS part's average quantity. Written as
+    * SQL text with two correlated subqueries and left to Catalyst,
+    * whose decorrelation rewrites them into one aggregate over
+    * lineitem joined back on partkey — the rewrite a warehouse engine
+    * must do, since a naive per-row subquery re-scan is O(n²).
+    *
+    * The threshold is exact: qty * 5 * count < sum in DECIMAL
+    * (multiplying through by the count instead of dividing into a
+    * float average), so no boundary row can flip between engines or
+    * partition layouts.
+    *
+    * Plan note: Catalyst decorrelates each subquery into its own
+    * aggregate + join (two lineitem aggregates — it does not merge
+    * correlated siblings); a hand-tuned pipeline computes (sum, cnt)
+    * in ONE aggregate and joins once. This query deliberately keeps
+    * the declarative form to benchmark the engine's rewrite. */
+  def smallQuantityRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Tables.registerAll(spark, sfDir)
+    spark.sql(smallQuantityRevenueSql)
+  }
+
+  val smallQuantityRevenueSql: String =
+    """SELECT p.p_brand, count(*) AS n_small,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_rev
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 *
+      |      (SELECT COUNT(*) FROM lineitem l2
+      |       WHERE l2.l_partkey = l.l_partkey)
+      |    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2))) FROM lineitem l3
+      |       WHERE l3.l_partkey = l.l_partkey)
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""".stripMargin
 }

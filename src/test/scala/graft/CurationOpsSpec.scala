@@ -421,6 +421,16 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("q69: correlated subqueries are decorrelated into joins, never per-row scans") {
+    val df = graft.operators.EnrichOps.smallQuantityRevenue(spark, sf)
+    assert(df.count() >= 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Subquery"),
+      s"correlated subquery survived decorrelation:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      "per-part aggregate must appear as a real aggregate node")
+  }
+
   // ------------------------------------- staged verified near-dup pairs
 
   test("verified pair table stages once; staged == unstaged bit-for-bit") {
