@@ -431,6 +431,16 @@ class CurationOpsSpec extends SparkSpec {
       "per-part aggregate must appear as a real aggregate node")
   }
 
+  // ---------------------------------------- empty-corpus hardening
+
+  test("library Of-entries return empty results, not crashes, on an empty corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DedupOps.minhashSignaturesOf(empty).count() == 0)
+    assert(DedupOps.lshCandidatesOf(empty).count() == 0)
+    assert(DedupOps.containmentPairsOf(empty).count() == 0)
+    assert(graft.streaming.StreamingDedup.withSignature(empty).count() == 0)
+  }
+
   // ------------------------------------- staged verified near-dup pairs
 
   test("verified pair table stages once; staged == unstaged bit-for-bit") {
