@@ -43,17 +43,21 @@ object StreamingDedup {
 
   /** Attach `__sig` (narrow, shuffle-free minhash signature as
     * array<bigint>) to a frame with a `text` column; rows without a
-    * signature (docs under two tokens have no bigram) are dropped —
-    * they cannot near-duplicate anything. */
-  def withSignature(docs: DataFrame,
-                    p: MinHashParams = DedupOps.defaultParams): DataFrame =
+    * bigram (docs under two tokens) carry a NULL `__sig`. */
+  def withSignatureAll(docs: DataFrame,
+                       p: MinHashParams = DedupOps.defaultParams): DataFrame =
     docs.withColumn("toks", split(col("text"), " "))
       .withColumn("__shingles", expr(DedupOps.bigramsE))
       .withColumn("__hs", expr(
         "transform(__shingles, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"))
       .withColumn("__sig", expr(sigArrayExpr(p)))
-      .where(col("__sig").isNotNull)
       .drop("toks", "__shingles", "__hs")
+
+  /** [[withSignatureAll]] with the unsignable rows dropped — they
+    * cannot near-duplicate anything. */
+  def withSignature(docs: DataFrame,
+                    p: MinHashParams = DedupOps.defaultParams): DataFrame =
+    withSignatureAll(docs, p).where(col("__sig").isNotNull)
 
   /** Stream-static near-dup matches: for each streaming document that
     * shares an LSH band with a corpus document and whose signature

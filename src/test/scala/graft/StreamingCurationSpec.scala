@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.DedupOps
+import graft.streaming.StreamingCuration
+
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpusDocs = Seq(
+    (100L, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon")),
+    (200L, ("one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"))
+  )
+
+  private val nearDup = // corpus doc 100 with one word changed
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau omega"
+  private val novel =
+    "completely different content about spark catalyst plans and " +
+      "tungsten codegen with many distinct happy interesting shiny new words " +
+      "plus extra unique vocabulary items everywhere"
+  private val tooShort = "just a few words"
+  private val oneToken = "solo"
+
+  test("admission verdicts: quality rejects, provable novelty admits, band hits verify") {
+    val corpusSig = DedupOps.minhashSignaturesOf(corpusDocs.toDF("doc_id", "text"))
+    val bloom = StreamingCuration.corpusBandBloom(corpusSig)
+    val stream = Seq(
+      (1L, nearDup), (2L, novel), (3L, tooShort), (4L, oneToken)
+    ).toDF("doc_id", "text")
+    val got = StreamingCuration.admissions(stream, bloom)
+      .select("doc_id", "verdict", "reasons")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 4, "no doc may vanish from the admission stream")
+    // Bloom filters have no false negatives: the near-dup MUST route
+    // to verification
+    assert(got(1L)._1 == "needs_verify", s"near-dup got ${got(1L)}")
+    // fixed data + deterministic bloom seeds: the novel doc admits
+    assert(got(2L)._1 == "admit", s"novel doc got ${got(2L)}")
+    assert(got(3L)._1 == "reject_quality" && got(3L)._2.contains("too_short"))
+    assert(got(4L)._1 == "reject_quality",
+      "an unsignable one-token doc must be rejected, not dropped")
+  }
+
+  test("admissions run as a structured stream with identical verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusSig = DedupOps.minhashSignaturesOf(corpusDocs.toDF("doc_id", "text"))
+    val bloom = StreamingCuration.corpusBandBloom(corpusSig)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingCuration.admissions(mem.toDF().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("sc_admissions")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, nearDup), (2L, novel), (3L, tooShort))
+      q.processAllAvailable()
+      val got = spark.table("sc_admissions")
+        .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "needs_verify", 2L -> "admit", 3L -> "reject_quality"))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sc_admissions")
+    }
+  }
+
+  test("needs_verify routes into the exact verifier and confirms the dup") {
+    val corpusSig = DedupOps.minhashSignaturesOf(corpusDocs.toDF("doc_id", "text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpusSig.count()
+    val bloom = StreamingCuration.corpusBandBloom(corpusSig)
+    val stream = Seq((1L, nearDup), (2L, novel)).toDF("doc_id", "text")
+    val flagged = StreamingCuration.admissions(stream, bloom)
+      .where($"verdict" === "needs_verify").select("doc_id")
+    val verify = graft.streaming.StreamingDedup.nearDupMatches(
+        stream.join(flagged, "doc_id"), corpusSig)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect()
+    corpusSig.unpersist()
+    assert(verify.toSet == Set((1L, 100L)),
+      s"verifier must confirm exactly the near-dup: ${verify.mkString(",")}")
+  }
+}
