@@ -153,6 +153,10 @@ object SparkEntry {
     "q68_local_supplier_volume" -> RelationalOps.localSupplierVolume _,
     // beyond-reference: correlated scalar subqueries (TPC-H Q17 shape)
     "q69_small_qty_revenue" -> EnrichOps.smallQuantityRevenue _,
+    // beyond-reference: outer-join double aggregation (TPC-H Q13 shape)
+    "q70_order_count_dist" -> RelationalOps.orderCountDistribution _,
+    // beyond-reference: NOT EXISTS anti join
+    "q71_dormant_customers" -> RelationalOps.dormantCustomers _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -227,5 +231,7 @@ object SparkEntry {
     "q67_shipping_priority" -> RelationalOps.shippingPrioritySql,
     "q68_local_supplier_volume" -> RelationalOps.localSupplierVolumeSql,
     "q69_small_qty_revenue" -> EnrichOps.smallQuantityRevenueSql,
+    "q70_order_count_dist" -> RelationalOps.orderCountDistributionSql,
+    "q71_dormant_customers" -> RelationalOps.dormantCustomersSql,
   )
 }

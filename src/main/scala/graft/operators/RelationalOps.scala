@@ -275,6 +275,69 @@ object RelationalOps {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name ASC""".stripMargin
 
+  /** q70: customer order-count distribution (TPC-H Q13 shape) — the
+    * canonical LEFT OUTER + double aggregation: customers keep their
+    * zero-order row through the outer join, orders are counted per
+    * customer, then customers are counted per order-count. Exercises
+    * the outer-join path (every other join in the suite is inner or
+    * semi) and the aggregate-of-aggregate plan.
+    *
+    * Scale shape: both aggregates are hash aggregates with map-side
+    * partials; the outer join shuffles on custkey once, and the
+    * second aggregate's key space (distinct order counts) is tiny. */
+  def orderCountDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val orderCountDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q71: dormant high-value customers — NOT EXISTS over recent
+    * orders, i.e. the anti-join: customers above an account-balance
+    * floor with no order since the cutoff. The third join family
+    * (inner/outer/anti) the engine must plan well; Catalyst compiles
+    * the NOT EXISTS into a broadcast/shuffle anti join, never a
+    * per-row subquery.
+    *
+    * Scale shape: the recent-orders side is filtered before the
+    * anti join (predicate pushed to the scan), then a single
+    * left-anti hash join on custkey. */
+  def dormantCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val recent = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey"))
+    Tables.customer(spark, sfDir)
+      .where(col("c_acctbal") > 7500)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  val dormantCustomersSql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE c_acctbal > 7500
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
   /** Exact per-group percentiles by rank selection: the value at rank
     * ceil(q * n) of the group's ascending sort (percentile_disc
     * semantics — an ACTUAL group element, so integer columns stay

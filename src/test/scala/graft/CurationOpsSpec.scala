@@ -431,6 +431,23 @@ class CurationOpsSpec extends SparkSpec {
       "per-part aggregate must appear as a real aggregate node")
   }
 
+  test("q70/q71: outer-join histogram keeps zero-order customers; NOT EXISTS plans anti join") {
+    val dist = graft.operators.RelationalOps.orderCountDistribution(spark, sf)
+      .select("c_count", "custdist").as[(Long, Long)].collect().toMap
+    // every customer appears exactly once across the histogram
+    assert(dist.values.sum == Tables.customer(spark, sf).count())
+    val anti = graft.operators.RelationalOps.dormantCustomers(spark, sf)
+    val plan = anti.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan an anti join:\n$plan")
+    assert(!plan.contains("Subquery"), s"NOT EXISTS survived as a subquery:\n$plan")
+    // anti-join result must be disjoint from customers having recent orders
+    val dormant = anti.select("c_custkey").as[Long].collect().toSet
+    val recent = Tables.orders(spark, sf)
+      .where(col("o_orderdate") >= lit("2000-01-01"))
+      .select("o_custkey").as[Long].collect().toSet
+    assert(dormant.intersect(recent).isEmpty)
+  }
+
   // ---------------------------------------- empty-corpus hardening
 
   test("library Of-entries return empty results, not crashes, on an empty corpus") {
