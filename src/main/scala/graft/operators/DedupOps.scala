@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -405,23 +405,35 @@ object DedupOps {
       case _ => shingleTable(spark, sfDir)
     }
 
-  private def computeJaccardVerify(spark: SparkSession, sfDir: String,
-                                   p: MinHashParams): DataFrame = {
-    val cand = lshCandidates(spark, sfDir, p).select("doc_a", "doc_b")
-    val bg = sharedShingles(spark, sfDir)
+  /** Exact shingle-overlap statistics for candidate pairs: joins each
+    * (aCol, bCol) pair against the shingle table on both sides and
+    * returns the pair plus `i` (intersection size), `na`, `nb` (set
+    * sizes). The shared second stage of every verification operator
+    * (Jaccard, containment, incremental admission) — candidates-only,
+    * never corpus x corpus. */
+  private def overlapStats(cand: DataFrame, bg: DataFrame,
+                           aCol: String, bCol: String): DataFrame = {
     val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(bg.as("x"), col("x.doc_id") === col("doc_a"))
-      .join(bg.as("y"), col("y.doc_id") === col("doc_b") && col("y.s") === col("x.s"))
-      .groupBy("doc_a", "doc_b")
+    cand
+      .join(bg.as("__p"), col("__p.doc_id") === col(aCol))
+      .join(bg.as("__q"), col("__q.doc_id") === col(bCol) && col("__q.s") === col("__p.s"))
+      .groupBy(aCol, bCol)
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard", round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6))
+      .join(sizes.withColumnRenamed("doc_id", aCol).withColumnRenamed("n", "na"), aCol)
+      .join(sizes.withColumnRenamed("doc_id", bCol).withColumnRenamed("n", "nb"), bCol)
+  }
+
+  /** Exact Jaccard from overlap statistics, rounded for the oracle. */
+  private def jaccardCol: Column =
+    round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6)
+
+  private def computeJaccardVerify(spark: SparkSession, sfDir: String,
+                                   p: MinHashParams): DataFrame =
+    overlapStats(lshCandidates(spark, sfDir, p).select("doc_a", "doc_b"),
+        sharedShingles(spark, sfDir), "doc_a", "doc_b")
+      .withColumn("jaccard", jaccardCol)
       .where(col("jaccard") >= jaccardThreshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   /** Verified near-dup pair table, staged like the candidate table:
     * the exact-Jaccard verify join is the last expensive dedup stage,
@@ -685,14 +697,7 @@ object DedupOps {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
               greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(bg.as("p"), col("p.doc_id") === col("doc_a"))
-      .join(bg.as("q"), col("q.doc_id") === col("doc_b") && col("q.s") === col("p.s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    overlapStats(cand, bg, "doc_a", "doc_b")
       .withColumn("containment",
         round(col("i") * lit(1.0) / least(col("na"), col("nb")), 6))
       .where(col("containment") >= containThreshold)
@@ -758,14 +763,8 @@ object DedupOps {
       .select(col("nb.doc_id").as("new_id"), col("cb.doc_id").as("old_id"))
       .distinct()
     val bg = sharedShingles(spark, sfDir)
-    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val near = cand
-      .join(bg.as("x"), col("x.doc_id") === col("new_id"))
-      .join(bg.as("y"), col("y.doc_id") === col("old_id") && col("y.s") === col("x.s"))
-      .groupBy("new_id", "old_id").agg(count(lit(1)).as("i"))
-      .join(sizes.withColumnRenamed("doc_id", "new_id").withColumnRenamed("n", "na"), "new_id")
-      .join(sizes.withColumnRenamed("doc_id", "old_id").withColumnRenamed("n", "nb"), "old_id")
-      .withColumn("jaccard", round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6))
+    val near = overlapStats(cand, bg, "new_id", "old_id")
+      .withColumn("jaccard", jaccardCol)
       .where(col("jaccard") >= jaccardThreshold)
       .groupBy("new_id").agg(
         max(struct(col("jaccard"), (-col("old_id")).as("negId"))).as("best"))
