@@ -42,7 +42,21 @@ object Tables {
 
   /** Register every table as a temp view so `spark.sql` text works —
     * the analogue of the reference's Table-API registration
-    * (utils/flink_table_api_utils.py:129-174). */
+    * (utils/flink_table_api_utils.py:129-174).
+    *
+    * Memoized per (session, dir): view registration re-reads parquet
+    * footers and re-lists files, which showed up as ~0.2 s on every
+    * SQL-text query. Re-registering is only needed when the data dir
+    * changes; a dir switch (scale-factor change mid-session, as Bench
+    * and the tests do) invalidates the memo. */
+  private val registeredFor =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    if (registeredFor.get(spark) != sfDir) synchronized {
+      if (registeredFor.get(spark) != sfDir) {
+        names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+        registeredFor.put(spark, sfDir)
+      }
+    }
 }
