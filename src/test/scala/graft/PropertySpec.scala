@@ -81,4 +81,19 @@ object PropertySpec extends Properties("graft") {
         .select("productName").collect().map(_.getString(0)).toSet
       got == Set(name)
     }
+
+  property("rank-selected percentiles equal exact sort on any grouped data") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(-500L, 500L)))) { raw =>
+      val xs = raw.take(200)
+      val df = xs.map { case (g, v) => (s"g$g", v) }.toDF("grp", "v")
+      val qs = Seq(0.25, 0.5, 0.75, 1.0)
+      val got = RelationalOps.percentilesBy(df.repartition(5), "grp", "v", qs)
+        .collect().map(r => r.getString(0) ->
+          qs.indices.map(i => r.getLong(i + 1))).toMap
+      val exact = xs.groupBy(x => s"g${x._1}").map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        g -> qs.map(q => sorted(math.ceil(q * sorted.length).toInt - 1))
+      }
+      Prop(got == exact) :| s"got $got expected $exact"
+    }
 }
