@@ -157,6 +157,9 @@ object SparkEntry {
     "q70_order_count_dist" -> RelationalOps.orderCountDistribution _,
     // beyond-reference: NOT EXISTS anti join
     "q71_dormant_customers" -> RelationalOps.dormantCustomers _,
+    // §2.8 O4 again as a bounded two-phase aggregate (map-side partial
+    // top-k heaps) — same oracle as the window form q04
+    "q72_topk_agg" -> ((s, d) => RelationalOps.topKPerGroupAgg(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -233,5 +236,6 @@ object SparkEntry {
     "q69_small_qty_revenue" -> EnrichOps.smallQuantityRevenueSql,
     "q70_order_count_dist" -> RelationalOps.orderCountDistributionSql,
     "q71_dormant_customers" -> RelationalOps.dormantCustomersSql,
+    "q72_topk_agg" -> RelationalOps.topKPerGroupSql,
   )
 }

@@ -34,4 +34,34 @@ object Aggregators {
     * (flink_learning/flink_typora.md:813-824). */
   def register(spark: SparkSession, name: String = "count_sum_avg"): Unit =
     spark.udf.register(name, udaf(CountSumAvg))
+
+  /** Bounded per-group top-k as a TWO-PHASE aggregate: each partition
+    * keeps at most k (score, id) pairs (score desc, id asc) and
+    * partial buffers merge map-side — the shuffle carries k rows per
+    * (partition, group), never the group's full membership. The
+    * window row_number() alternative must shuffle and SORT every row
+    * of every group; for small k over large groups this is the shape
+    * a 100 TB engine wants. IN = (group, score, id). */
+  final class TopKByScore(k: Int)
+      extends Aggregator[(Long, Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    require(k > 0, s"k must be positive, got $k")
+    private def bound(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      xs.sortBy(t => (-t._1, t._2)).take(k)
+    override def zero: Seq[(Double, Long)] = Vector.empty
+    override def reduce(b: Seq[(Double, Long)], a: (Long, Double, Long)): Seq[(Double, Long)] =
+      // admission check first: most rows lose to a full buffer's
+      // minimum without paying the sort
+      if (b.length == k && {
+        val last = b.last
+        a._2 < last._1 || (a._2 == last._1 && a._3 > last._2)
+      }) b
+      else bound(b :+ ((a._2, a._3)))
+    override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      bound(b1 ++ b2)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
 }

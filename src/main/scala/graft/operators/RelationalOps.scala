@@ -123,6 +123,37 @@ object RelationalOps {
       |  FROM orders) t
       |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
 
+  /** q72: top-k per group as a bounded two-phase AGGREGATE
+    * (functions.Aggregators.TopKByScore) instead of a window: the
+    * shuffle carries at most k rows per (partition, group) — partial
+    * buffers merge map-side — where row_number() must shuffle and
+    * sort every order of every customer. Same output contract as
+    * [[topKPerGroup]] (shared oracle); the typed Dataset path
+    * (groupByKey + Aggregator + flatMap) is the API showcase.
+    *
+    * Honest trade (measured at sf0.1: 0.49 s vs the window's
+    * 0.36 s): with ~10 rows per group the window's in-partition sort
+    * is trivial and the typed path pays object serialization; the
+    * aggregate wins when group size >> k, because the shuffle drops
+    * from every row to k per (partition, group) — a shuffle-volume
+    * argument, which is the one that matters at cluster scale. */
+  def topKPerGroupAgg(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.Aggregators.TopKByScore(k)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (cust, top) =>
+        top.iterator.zipWithIndex.map { case ((price, okey), i) =>
+          (cust, i + 1, okey, price)
+        }
+      }
+      .toDF("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
   /** Global sort + limit (O1/O2) with a total order for determinism. */
   def sortLimit(spark: SparkSession, sfDir: String, n: Int = 100): DataFrame =
     Tables.orders(spark, sfDir)

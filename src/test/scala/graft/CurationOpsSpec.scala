@@ -448,6 +448,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(dormant.intersect(recent).isEmpty)
   }
 
+  test("q72: two-phase top-k aggregate is bit-identical to the window form") {
+    val agg = graft.operators.RelationalOps.topKPerGroupAgg(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val win = graft.operators.RelationalOps.topKPerGroup(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(agg == win)
+    // the buffer admission check: ties on score break by id asc, a
+    // full buffer rejects strictly-worse rows
+    val topk = new graft.functions.Aggregators.TopKByScore(2)
+    val b = Seq((9.0, 1L), (9.0, 5L))
+    assert(topk.reduce(b, (0L, 9.0, 7L)) == b, "worse tie must be rejected")
+    assert(topk.reduce(b, (0L, 9.0, 2L)) == Seq((9.0, 1L), (9.0, 2L)),
+      "better tie must displace the buffer minimum")
+    assert(topk.merge(Seq((1.0, 1L)), Seq((2.0, 2L))) == Seq((2.0, 2L), (1.0, 1L)))
+  }
+
   // ---------------------------------------- empty-corpus hardening
 
   test("library Of-entries return empty results, not crashes, on an empty corpus") {
