@@ -160,6 +160,8 @@ object SparkEntry {
     // §2.8 O4 again as a bounded two-phase aggregate (map-side partial
     // top-k heaps) — same oracle as the window form q04
     "q72_topk_agg" -> ((s, d) => RelationalOps.topKPerGroupAgg(s, d)),
+    // multimodal: binary frame sampling (fixed-length slices at a stride)
+    "q73_frame_sample" -> graft.functions.Multimodal.frameSample _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -237,5 +239,6 @@ object SparkEntry {
     "q70_order_count_dist" -> RelationalOps.orderCountDistributionSql,
     "q71_dormant_customers" -> RelationalOps.dormantCustomersSql,
     "q72_topk_agg" -> RelationalOps.topKPerGroupSql,
+    "q73_frame_sample" -> graft.functions.Multimodal.frameSampleSql,
   )
 }

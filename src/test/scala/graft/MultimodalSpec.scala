@@ -48,6 +48,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getSeq[Float](out(0).fieldIndex("features")).nonEmpty)
     assert(out(1).isNullAt(out(1).fieldIndex("features")))
   }
+
+  test("frame sampling slices real bytes: frames reassemble from the payload") {
+    import spark.implicits._
+    val frames = Multimodal.frameSample(spark, sf)
+      .select("media_id", "frame_idx", "n_bytes", "frame_md5")
+      .as[(Long, Int, Int, String)].collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_._3 == 32), "every sampled frame is full-length")
+    // reconstruct expected frames driver-side from the raw payloads
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    frames.foreach { case (id, idx, _, got) =>
+      val bytes = texts(id).getBytes("UTF-8").slice(idx * 64, idx * 64 + 32)
+      val want = md.digest(bytes).map("%02x".format(_)).mkString
+      assert(got == want, s"media $id frame $idx checksum mismatch")
+    }
+    // per-media frame indexes are contiguous from 0 and stride-bounded
+    frames.groupBy(_._1).foreach { case (id, fs) =>
+      val idxs = fs.map(_._2).sorted.toSeq
+      assert(idxs == (0 until fs.length), s"media $id frame indexes not contiguous")
+      val len = texts(id).length
+      assert(fs.length == (len - 32) / 64 + 1, s"media $id frame count")
+    }
+    // the oracle's VARCHAR slicing is only legal while the fixture is
+    // ASCII-pure (byte == char); fail loudly if that ever changes
+    assert(Tables.documents(spark, sf)
+      .where(octet_length(col("text")) =!= length(col("text"))).count() == 0,
+      "fixture corpus is no longer ASCII-pure; the q73 oracle must move to BLOB slicing")
+  }
 }
 
 class JdbcAdminSpec extends SparkSpec {
