@@ -451,21 +451,21 @@ object CorpusOps {
     * per-doc sum uses mean-of-ppm instead of sum*1e6 to stay inside
     * int64 — same topology. */
   /** The trigram occurrence stream, with identity as a PACKED BIGINT
-    * (3 x 21-bit codepoints), not a string: split-to-codepoints once
-    * (substring(text, i, _) seeks from the string head — quadratic in
-    * doc length; measured 2.2x slower), then the explode emits 8-byte
-    * keys and every aggregate hashes longs. The trigram string never
+    * (3 x 21-bit codepoints), not a string: the trigram string never
     * leaves the plan — the census only needs counts, and the packing
-    * is injective so counts match the oracle's string grouping. */
+    * is injective so counts match the oracle's string grouping. The
+    * packing is a native codegen expression
+    * (graft.functions.PackedTrigrams): one pass over the string's
+    * codepoints straight to the long array — the SQL-expr form
+    * (`transform(split(text, ''), ascii)` + windowed shifts)
+    * allocated a single-char UTF8String per character, and the naive
+    * `substring(text, i, 3)` before it seeked from the string head
+    * (quadratic in doc length; measured 2.2x slower). */
   private def trigramOccurrences(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .where(length(col("text")) >= 3)
-      .withColumn("cp", expr("transform(split(text, ''), ch -> cast(ascii(ch) as bigint))"))
-      .selectExpr("doc_id",
-        """explode(transform(sequence(1, size(cp) - 2),
-          |  i -> shiftleft(element_at(cp, i), 42)
-          |     + shiftleft(element_at(cp, i + 1), 21)
-          |     + element_at(cp, i + 2))) AS tri""".stripMargin)
+      .select(col("doc_id"),
+        explode(graft.functions.PackedTrigrams.packed_trigrams(col("text"))).as("tri"))
 
   def trigramTypicality(spark: SparkSession, sfDir: String): DataFrame = {
     // Two passes over the narrow explode beat one pass over a

@@ -170,9 +170,37 @@ class CurationOpsSpec extends SparkSpec {
   test("q57 aggregates hash 8-byte trigram keys, never trigram strings") {
     val plan = CorpusOps.trigramTypicality(spark, sf)
       .queryExecution.optimizedPlan.toString
-    assert(plan.contains("shiftleft"), "numeric trigram packing gone from the plan")
+    assert(plan.contains("packed_trigrams"),
+      s"native trigram packing gone from the plan:\n$plan")
     assert(!plan.contains("substring(text"),
       s"quadratic substring extraction crept back:\n$plan")
+  }
+
+  test("packed_trigrams matches the SQL-expr packing, incl. surrogate pairs and nulls") {
+    val cases = Seq("abcdef", "ab", "", "héllo wörld", "日本語テスト",
+      "a🙂b🙃c", "mixed 日本 and ascii")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val native = df.select(col("id"),
+        graft.functions.PackedTrigrams.packed_trigrams(col("text")).as("p"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val sqlExpr = df
+      .withColumn("cp", expr("transform(split(text, ''), ch -> cast(ascii(ch) as bigint))"))
+      .selectExpr("id",
+        """case when size(cp) < 3 then array()
+          |else transform(sequence(1, size(cp) - 2),
+          |  i -> shiftleft(element_at(cp, i), 42)
+          |     + shiftleft(element_at(cp, i + 1), 21)
+          |     + element_at(cp, i + 2)) end AS p""".stripMargin)
+      .as[(Long, Seq[Long])].collect().toMap
+    cases.indices.foreach { i =>
+      assert(native(i.toLong) == sqlExpr(i.toLong),
+        s"case '${cases(i)}' diverged: ${native(i.toLong)} vs ${sqlExpr(i.toLong)}")
+    }
+    // null propagates
+    val withNull = Seq((1L, "abc"), (2L, null: String)).toDF("id", "text")
+      .select(col("id"), graft.functions.PackedTrigrams.packed_trigrams(col("text")).as("p"))
+      .collect()
+    assert(!withNull(0).isNullAt(1) && withNull(1).isNullAt(1))
   }
 
   // ---------------------------------------------- q60 containment pairs
