@@ -492,6 +492,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(topk.merge(Seq((1.0, 1L)), Seq((2.0, 2L))) == Seq((2.0, 2L), (1.0, 1L)))
   }
 
+  test("shingle_hashes is bit-identical to the SQL-expr shingle pipeline") {
+    val tricky = Seq(
+      (9001L, "plain ascii bigram stream with several tokens here"),
+      (9002L, "double  space"), (9003L, " leading and trailing "),
+      (9004L, "solo"), (9005L, ""), (9006L, "日本 語 テスト 🙂 emoji"),
+      (9007L, "rep rep rep rep"))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(tricky.toDF("doc_id", "text"))
+    val native = docs.select(col("doc_id"),
+        explode(graft.functions.ShingleHashes.shingle_hashes(col("text"))).as("sh"))
+      .select(col("doc_id"), col("sh.s"), col("sh.h"), col("sh.h60"))
+      .as[(Long, String, Long, Long)].collect().sorted.toSeq
+    val sqlExpr = docs
+      .withColumn("toks", split(col("text"), " "))
+      .selectExpr("doc_id", s"explode(${DedupOps.bigramsE}) as s")
+      .withColumn("h", expr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"))
+      .withColumn("h60", expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"))
+      .as[(Long, String, Long, Long)].collect().sorted.toSeq
+    assert(native == sqlExpr)
+  }
+
   // ---------------------------------------- empty-corpus hardening
 
   test("library Of-entries return empty results, not crashes, on an empty corpus") {
