@@ -112,11 +112,18 @@ object Multimodal {
     * partition, output is bounded by bytes/stride per row, and
     * metadata-only consumers prune the binary column at the scan.
     *
-    * (The DuckDB oracle uses VARCHAR slicing — legal because the
-    * fixture corpus is ASCII-pure, byte == char, asserted in the
-    * spec; DuckDB 1.0 has no BLOB substring/md5.) */
+    * (The DuckDB oracle uses VARCHAR slicing — DuckDB 1.0 has no BLOB
+    * substring/md5 — so the oracle-checked query scopes itself to
+    * byte-pure payloads (octet_length == char length) ON BOTH SIDES;
+    * the operator's slicing itself is pure binary and
+    * content-agnostic. The adversarial-corpus run caught the
+    * unscoped version diverging on multi-byte documents.) */
   def frameSample(spark: SparkSession, sfDir: String): DataFrame =
     mediaFromDocuments(spark, sfDir)
+      .join(Tables.documents(spark, sfDir)
+          .where(octet_length(col("text")) === length(col("text")))
+          .select(col("doc_id").as("media_id")),
+        "media_id")
       .where(octet_length(col("content")) >= frameLen)
       .withColumn("n_frames", expr(
         s"cast((octet_length(content) - $frameLen) div $stride as int) + 1"))
@@ -132,7 +139,8 @@ object Multimodal {
   val frameSampleSql: String =
     s"""WITH m AS (
        |  SELECT doc_id AS media_id, text AS content FROM documents
-       |  WHERE length(text) >= $frameLen),
+       |  WHERE length(text) >= $frameLen
+       |    AND octet_length(encode(text)) = length(text)),
        |f AS (
        |  SELECT media_id, content,
        |    unnest(generate_series(0,

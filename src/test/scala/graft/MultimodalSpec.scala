@@ -72,11 +72,15 @@ class MultimodalSpec extends SparkSpec {
       val len = texts(id).length
       assert(fs.length == (len - 32) / 64 + 1, s"media $id frame count")
     }
-    // the oracle's VARCHAR slicing is only legal while the fixture is
-    // ASCII-pure (byte == char); fail loudly if that ever changes
-    assert(Tables.documents(spark, sf)
-      .where(octet_length(col("text")) =!= length(col("text"))).count() == 0,
-      "fixture corpus is no longer ASCII-pure; the q73 oracle must move to BLOB slicing")
+    // the oracle's VARCHAR slicing is only byte-exact for byte-pure
+    // payloads, so the query self-scopes: multi-byte docs must be
+    // excluded on the Spark side too (caught live by the
+    // adversarial-corpus run before the scope filter existed)
+    val pureIds = texts.filter { case (_, t) =>
+      t.getBytes("UTF-8").length == t.codePointCount(0, t.length)
+    }.keySet
+    assert(frames.map(_._1).toSet.subsetOf(pureIds),
+      "a multi-byte doc leaked into the byte-sliced oracle query")
   }
 }
 
