@@ -43,15 +43,17 @@ object StreamingDedup {
 
   /** Attach `__sig` (narrow, shuffle-free minhash signature as
     * array<bigint>) to a frame with a `text` column; rows without a
-    * bigram (docs under two tokens) carry a NULL `__sig`. */
+    * bigram (docs under two tokens) carry a NULL `__sig`. The shingle
+    * hashes come from the same native expression the batch path uses
+    * (graft.functions.ShingleHashes), so batch/stream signature parity
+    * holds by construction. */
   def withSignatureAll(docs: DataFrame,
                        p: MinHashParams = DedupOps.defaultParams): DataFrame =
-    docs.withColumn("toks", split(col("text"), " "))
-      .withColumn("__shingles", expr(DedupOps.bigramsE))
-      .withColumn("__hs", expr(
-        "transform(__shingles, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"))
+    docs.withColumn("__sh",
+        graft.functions.ShingleHashes.shingle_hashes(col("text")))
+      .withColumn("__hs", expr("transform(__sh, x -> x.h)"))
       .withColumn("__sig", expr(sigArrayExpr(p)))
-      .drop("toks", "__shingles", "__hs")
+      .drop("__sh", "__hs")
 
   /** [[withSignatureAll]] with the unsignable rows dropped — they
     * cannot near-duplicate anything. */
