@@ -162,6 +162,8 @@ object SparkEntry {
     "q72_topk_agg" -> ((s, d) => RelationalOps.topKPerGroupAgg(s, d)),
     // multimodal: binary frame sampling (fixed-length slices at a stride)
     "q73_frame_sample" -> graft.functions.Multimodal.frameSample _,
+    // beyond-reference: EXISTS semi join (TPC-H Q4 shape)
+    "q74_priority_check" -> RelationalOps.priorityCheck _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -240,5 +242,6 @@ object SparkEntry {
     "q71_dormant_customers" -> RelationalOps.dormantCustomersSql,
     "q72_topk_agg" -> RelationalOps.topKPerGroupSql,
     "q73_frame_sample" -> graft.functions.Multimodal.frameSampleSql,
+    "q74_priority_check" -> RelationalOps.priorityCheckSql,
   )
 }

@@ -369,6 +369,39 @@ object RelationalOps {
       |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
       |ORDER BY c_custkey""".stripMargin
 
+  /** q74: order-priority check (TPC-H Q4 shape) — count orders per
+    * priority having AT LEAST ONE late line item (EXISTS → a LeftSemi
+    * hash join: each order matches at most once no matter how many
+    * lines are late). Completes the oracle-checked join family:
+    * inner, outer (q70), semi (q74), anti (q71).
+    *
+    * Scale shape: the lateness predicate pushes into the lineitem
+    * scan; the semi join shuffles on orderkey once and short-circuits
+    * per probe; the priority rollup is a tiny aggregate. */
+  def priorityCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val late = Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("1997-01-01") &&
+             col("o_orderdate") < lit("1998-01-01"))
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val priorityCheckSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Exact per-group percentiles by rank selection: the value at rank
     * ceil(q * n) of the group's ascending sort (percentile_disc
     * semantics — an ACTUAL group element, so integer columns stay

@@ -513,6 +513,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(native == sqlExpr)
   }
 
+  test("q74: EXISTS plans a semi join; each order counts at most once") {
+    val df = graft.operators.RelationalOps.priorityCheck(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan a semi join:\n$plan")
+    // total counted orders can never exceed the distinct qualifying orders
+    val total = df.agg(sum("order_count")).head.getLong(0)
+    val distinctOrders = Tables.orders(spark, sf)
+      .where(expr("o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'"))
+      .join(Tables.lineitem(spark, sf).where(col("l_returnflag") === "R")
+              .select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"))
+      .count()
+    assert(total == distinctOrders,
+      s"semi-join count $total != distinct qualifying orders $distinctOrders")
+  }
+
   // ---------------------------------------- empty-corpus hardening
 
   test("library Of-entries return empty results, not crashes, on an empty corpus") {
