@@ -408,14 +408,42 @@ object RelationalOps {
     * exact and the oracle reproduces every value bit-for-bit, unlike
     * interpolating `percentile` or sketch-based `approx_percentile`).
     *
-    * Scale shape: one shuffle on the group key; each group sorts
-    * independently inside its partition (window per group, never a
-    * global sort). Groups far larger than a partition want the
-    * two-pass variant (per-partition histograms, then rank lookup) —
-    * same rank-selection semantics, which is why the census pins them
-    * here. */
+    * Two-phase rank selection, NOT a per-group row sort: phase 1 is
+    * `groupBy(group, value).count()` — a hash aggregate with map-side
+    * partial combine, so the shuffle carries at most one row per
+    * DISTINCT value per group per task, not one row per document;
+    * phase 2 runs the cumulative count over the distinct-value table
+    * and picks, for each target rank ceil(q*n), the smallest value
+    * whose cumulative count reaches it (exactly the value the sorted
+    * rank would land on, ties included). The only per-group sequential
+    * step scales with the group's VALUE-DOMAIN cardinality (bounded
+    * for lengths, scores, latencies — the columns percentiles are run
+    * on), never with its row count: a language holding 60% of a
+    * 100 TB corpus is a few hundred thousand distinct lengths in the
+    * window, not billions of rows in one task's sort. */
   def percentilesBy(df: DataFrame, groupCol: String, valueCol: String,
                     qs: Seq[Double]): DataFrame = {
+    val counts = df.groupBy(groupCol, valueCol).agg(count(lit(1)).as("__c"))
+    val cum = counts
+      .withColumn("__hi", sum("__c").over(
+        Window.partitionBy(groupCol).orderBy(col(valueCol).asc)))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(groupCol)))
+    val picks = qs.map { q =>
+      min(when(col("__hi") >= ceil(lit(q) * col("__n")), col(valueCol)))
+        .as(s"p${(q * 100).round}")
+    }
+    cum.groupBy(groupCol).agg(picks.head, picks.tail: _*)
+  }
+
+  /** The naive one-phase variant — row_number over every row of the
+    * group — kept as the exactness cross-check [[percentilesBy]] is
+    * spec-pinned against. Its per-group sort runs inside ONE task, so
+    * it is correct at any size but a single-executor bottleneck on a
+    * skewed stratum; never use it where a group can exceed a
+    * partition. */
+  private[graft] def percentilesByWindowed(
+      df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
     // row_number's tie order is partition-dependent, but tied rows
     // carry the SAME value, so the value selected at any rank is
     // deterministic — no tiebreak column needed

@@ -420,6 +420,32 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q64: two-phase rank selection survives a skewed stratum and matches the windowed variant") {
+    // one stratum holds 90% of the rows (the shape that serializes the
+    // naive per-group window into a single task at 100 TB), values
+    // drawn from a small domain so ties are everywhere
+    import spark.implicits._
+    val rnd = new scala.util.Random(64)
+    val rows = (1 to 9000).map(_ => ("big", rnd.nextInt(40).toLong)) ++
+      (1 to 800).map(_ => ("mid", rnd.nextInt(200).toLong)) ++
+      Seq(("one", 7L))
+    val df = rows.toDF("grp", "v").repartition(8)
+    val qs = Seq(0.25, 0.5, 0.75, 1.0)
+    val two = graft.operators.RelationalOps.percentilesBy(df, "grp", "v", qs)
+    val win = graft.operators.RelationalOps
+      .percentilesByWindowed(df, "grp", "v", qs)
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.select("grp", "p25", "p50", "p75", "p100")
+        .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(toMap(two) == toMap(win))
+    // scale shape: the two-phase plan's first aggregate is partial
+    // (map-side combine), so the shuffle carries distinct (grp, v)
+    // rows — 40 values for the 9000-row stratum, not 9000 rows
+    val plan = two.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"phase-1 distinct-value count must partial-aggregate before the shuffle:\n$plan")
+  }
+
   // -------------------------------------- q67/q68 warehouse join plans
 
   test("q67: top-10 is TakeOrdered, dims broadcast, date filters reach the scan") {
