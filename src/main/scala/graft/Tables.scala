@@ -48,15 +48,26 @@ object Tables {
     * footers and re-lists files, which showed up as ~0.2 s on every
     * SQL-text query. Re-registering is only needed when the data dir
     * changes; a dir switch (scale-factor change mid-session, as Bench
-    * and the tests do) invalidates the memo. */
-  private val registeredFor =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    * and the tests do) invalidates the memo. The memo hit still
+    * confirms every canonical view EXISTS (a cheap in-memory catalog
+    * lookup) so foreign code dropping one of these names forces a
+    * re-register instead of failing downstream SQL; it deliberately
+    * does NOT detect a view REPLACED under a canonical name — callers
+    * registering their own views must not collide with [[names]].
+    * WeakHashMap keys: a retired SparkSession must not be pinned by
+    * this cache. */
+  private val registeredFor = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    if (registeredFor.get(spark) != sfDir) synchronized {
-      if (registeredFor.get(spark) != sfDir) {
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    def current =
+      registeredFor.get(spark) == sfDir &&
+        names.forall(spark.catalog.tableExists)
+    if (!current) synchronized {
+      if (!current) {
         names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
         registeredFor.put(spark, sfDir)
       }
     }
+  }
 }

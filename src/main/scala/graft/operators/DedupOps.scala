@@ -662,14 +662,17 @@ object DedupOps {
     * RARE-SHINGLE ANCHORING: each doc nominates its `anchorK` rarest
     * shingles (corpus df ascending, shingle text as tiebreak, only
     * shingles with df <= `anchorMaxDf` may anchor), and each anchor
-    * probes the full posting list of that shingle. The contained doc's
-    * anchors are inside the container by definition, so the container
-    * is always on their posting lists — even though the container
-    * itself anchors its own, rarer shingles. Fan-out is bounded by
-    * construction: an anchor's posting list has at most `anchorMaxDf`
-    * docs, so candidates <= docs x anchorK x anchorMaxDf — linear, and
-    * the skew cap is built into the candidate definition, not bolted
-    * on.
+    * probes the full posting list of that shingle. The recall
+    * guarantee holds for FULL containment: a fully-contained doc's
+    * anchors are all inside the container, so the container is always
+    * on their posting lists. Below that — at `containThreshold` 0.8 a
+    * doc's anchorK rarest shingles can fall in the non-shared 20% —
+    * partial containment is best-effort under anchoring (the oracle
+    * shares the same anchoring, so the two sides agree on exactly
+    * which pairs qualify). Fan-out is bounded by construction: an
+    * anchor's posting list has at most `anchorMaxDf` docs, so
+    * candidates <= docs x anchorK x anchorMaxDf — linear, and the
+    * skew cap is built into the candidate definition, not bolted on.
     *
     * Scale shape: one df aggregate over the staged shingle table, one
     * shuffle join on the shingle to attach df, a per-doc top-k window,

@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * alternation (Kiveris et al., "Connected Components in MapReduce"),
   * which is O(log n) rounds over the same primitives.
   */
+/** Signals a components algorithm exceeded its round bound — the ONE
+  * condition [[GraphOps.connectedComponentsAuto]] falls back on. A
+  * dedicated type so an unrelated IllegalStateException out of Spark
+  * internals propagates instead of silently triggering (and hiding its
+  * root cause behind) a full star-contraction re-run. */
+final class ConvergenceException(msg: String) extends IllegalStateException(msg)
+
 object GraphOps {
 
   /** Label every vertex of the undirected graph `edges` (columns
@@ -73,7 +80,7 @@ object GraphOps {
     }
     und.unpersist()
     if (!converged)
-      throw new IllegalStateException(
+      throw new ConvergenceException(
         s"connectedComponents did not converge within $maxIter rounds " +
           "(component diameter exceeds the bound; raise maxIter or use " +
           "star-contraction rounds for path-like graphs)")
@@ -115,9 +122,20 @@ object GraphOps {
         sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head
       (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
+    // self-loops carry no connectivity but DO declare a vertex: keep
+    // the ids aside and fold them back at the end as singletons, so
+    // the vertex contract matches connectedComponents (which keeps
+    // them naturally)
+    val selfIds = edges.where(col("src") === col("dst"))
+      .select(col("src").as("id")).distinct()
+    def withSelfLoopSingletons(res: DataFrame): DataFrame =
+      res.unionByName(
+        selfIds.join(res.select("id"), Seq("id"), "left_anti")
+          .withColumn("lbl", col("id")))
     var e = edges.select("src", "dst").where(col("src") =!= col("dst"))
       .distinct().localCheckpoint(false)
-    if (e.isEmpty) return e.select(col("src").as("id"), col("dst").as("lbl"))
+    if (e.isEmpty) return withSelfLoopSingletons(
+      e.select(col("src").as("id"), col("dst").as("lbl")))
     var prev: (Long, java.math.BigDecimal) = (-1L, java.math.BigDecimal.valueOf(-1))
     var iter = 0
     var parents: DataFrame = null
@@ -147,11 +165,12 @@ object GraphOps {
     }
     parents = neighborhoodMin(e)
     if (!converged)
-      throw new IllegalStateException(
+      throw new ConvergenceException(
         s"connectedComponentsStar did not converge within $maxIter rounds")
     // at the fixpoint every node's neighborhood min IS the component
     // min: edges form stars around the minima
-    parents.select(col("src").as("id"), col("m").as("lbl"))
+    withSelfLoopSingletons(
+      parents.select(col("src").as("id"), col("m").as("lbl")))
   }
 
   /** Total connected components: min-label propagation first (cheapest
@@ -164,7 +183,7 @@ object GraphOps {
                               maxIter: Int = 50): DataFrame =
     try connectedComponents(edges, propagationIter)
     catch {
-      case _: IllegalStateException => connectedComponentsStar(edges, maxIter)
+      case _: ConvergenceException => connectedComponentsStar(edges, maxIter)
     }
 
   /** Attach component labels to a full vertex set: vertices absent from

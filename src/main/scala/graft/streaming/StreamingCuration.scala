@@ -40,19 +40,26 @@ object StreamingCuration {
       .withColumn("n_tokens", expr("size(toks)"))
       .withColumn("__bg", expr(DedupOps.bigramsE))
       .withColumn("__nbg", expr("greatest(size(toks) - 1, 0)"))
-      .withColumn("r_short", col("n_tokens") < 20)
+      // malformed input (null/absent text) must REJECT, not slide
+      // through: with null text every rule below evaluates to null,
+      // no reason fires, and the doc would admit — a gate that waves
+      // through exactly the rows it cannot score
+      .withColumn("r_null", col("text").isNull)
+      .withColumn("r_short", !col("r_null") && col("n_tokens") < 20)
       .withColumn("r_lowdiv",
         expr("size(array_distinct(toks)) * 100 < size(toks) * 35"))
       .withColumn("r_stop",
         expr("size(filter(toks, x -> x = 'the' OR x = 'a')) * 100 > size(toks) * 18"))
       .withColumn("r_repet", expr("(__nbg - size(__bg)) * 5 >= __nbg AND __nbg > 0"))
       .withColumn("reasons", concat_ws(",",
+        when(col("r_null"), lit("null_text")),
         when(col("r_short"), lit("too_short")),
         when(col("r_lowdiv"), lit("low_diversity")),
         when(col("r_stop"), lit("high_stopword")),
         when(col("r_repet"), lit("repetitive"))))
       .withColumn("pass", (col("reasons") === "").cast("int"))
-      .drop("toks", "__bg", "__nbg", "r_short", "r_lowdiv", "r_stop", "r_repet")
+      .drop("toks", "__bg", "__nbg", "r_null", "r_short", "r_lowdiv", "r_stop",
+        "r_repet")
 
   /** Fold the corpus's LSH band keys into a Bloom filter (one
     * driver-side pass over the static signature table). `fpp` trades

@@ -42,6 +42,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(GraphOps.connectedComponentsStar(none).count() == 0)
   }
 
+  test("both CC variants keep vertices that appear only in self-loops") {
+    // 7 appears only as (7,7): a vertex declaration with no
+    // connectivity — both variants must label it a singleton
+    val edges = Seq((1L, 2L), (7L, 7L), (2L, 2L)).toDF("src", "dst")
+    val prop = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val star = GraphOps.connectedComponentsStar(edges)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 7L -> 7L)
+    assert(prop == want, s"min-label: $prop")
+    assert(star == want, s"star-contraction: $star")
+  }
+
   test("star-contraction CC matches min-label on mixed shapes") {
     val edges = Seq(
       (2L, 1L), (2L, 3L), (4L, 3L),

@@ -283,10 +283,16 @@ class CurationOpsSpec extends SparkSpec {
       case (d, "dup_near", m, j) =>
         assert(m >= 0 && !batch.contains(m), s"doc $d near match $m not in corpus")
         assert(j >= DedupOps.jaccardThreshold && j <= 1.0)
-        assert(texts(d) != texts(m) ||
-          // identical text may legitimately verify as near if exact
-          // precedence picked a different (lower-id) exact partner
-          true)
+        // the reported jaccard must reconcile against an INDEPENDENT
+        // driver-side shingle computation on the pair's texts
+        def shingles(t: String): Set[String] =
+          t.split(" ").sliding(2).filter(_.length == 2)
+            .map(_.mkString(" ")).toSet
+        val (sa, sb) = (shingles(texts(d)), shingles(texts(m)))
+        val exactJ = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        assert(math.abs(j - BigDecimal(exactJ)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+          s"doc $d near match $m: reported jaccard $j != recomputed $exactJ")
       case (d, "admit", m, j) =>
         assert(m == -1L && j == 0.0, s"admitted doc $d carries a match")
       case (d, v, _, _) => fail(s"doc $d unknown verdict $v")

@@ -29,13 +29,14 @@ class StreamingCurationSpec extends SparkSpec {
     val corpusSig = DedupOps.minhashSignaturesOf(corpusDocs.toDF("doc_id", "text"))
     val bloom = StreamingCuration.corpusBandBloom(corpusSig)
     val stream = Seq(
-      (1L, nearDup), (2L, novel), (3L, tooShort), (4L, oneToken)
+      (1L, nearDup), (2L, novel), (3L, tooShort), (4L, oneToken),
+      (5L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
     val got = StreamingCuration.admissions(stream, bloom)
       .select("doc_id", "verdict", "reasons")
       .as[(Long, String, String)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
-    assert(got.size == 4, "no doc may vanish from the admission stream")
+    assert(got.size == 5, "no doc may vanish from the admission stream")
     // Bloom filters have no false negatives: the near-dup MUST route
     // to verification
     assert(got(1L)._1 == "needs_verify", s"near-dup got ${got(1L)}")
@@ -44,6 +45,10 @@ class StreamingCurationSpec extends SparkSpec {
     assert(got(3L)._1 == "reject_quality" && got(3L)._2.contains("too_short"))
     assert(got(4L)._1 == "reject_quality",
       "an unsignable one-token doc must be rejected, not dropped")
+    // malformed input: every quality rule evaluates to null on null
+    // text, so without an explicit null rule the gate would ADMIT it
+    assert(got(5L)._1 == "reject_quality" && got(5L)._2.contains("null_text"),
+      s"null text must reject, not slide through the gate: ${got(5L)}")
   }
 
   test("admissions run as a structured stream with identical verdicts") {
