@@ -96,13 +96,29 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => " "; case c => c.toString }
-    def toJson(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def toJson(kvs: Seq[(String, Double)], fmt: Double => String): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.toSeq
       .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${toJson(results)},"unstaged_queries":${toJson(unstaged)},"errors":$errJson,"sf":"$sfDir"}""")
+    def line(fmt: Double => String, extra: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${toJson(results, fmt)}$extra,"errors":$errJson,"sf":"$sfDir"}"""
+    // full-precision artifact (incl. the unstaged attribution pass) on
+    // disk; the round artifact captures only a bounded LOG TAIL of
+    // stdout, which truncated the r7 line mid-JSON ("parsed": null) —
+    // so the printed line is the COMPACT form: ms-rounded times, the
+    // unstaged detail left to the file
+    val full = line(_.toString, s""","unstaged_queries":${toJson(unstaged, _.toString)}""")
+    val out = java.nio.file.Paths.get("bench", "bench_full_latest.json")
+    try {
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => () } // read-only cwd: line still prints
+    println(line(
+      v => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)),
+      s""","full":"$out""""))
     spark.stop()
   }
 }
