@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{DedupOps, MinHashParams}
@@ -22,11 +22,12 @@ import graft.operators.{DedupOps, MinHashParams}
   * Spark plans a plain join against the static side.
   *
   * Scale shape: per-row signature math is codegen over the document's
-  * own shingles (no corpus access); the static corpus bands are read
-  * from the staged signature table and the join shuffles only the
-  * micro-batch side unless the corpus side is pre-bucketed by band
-  * key (the 100 TB layout: corpus bands bucketed once, every
-  * micro-batch probes in place).
+  * own shingles (no corpus access); the static corpus bands join
+  * against each micro-batch. The 100 TB layout is
+  * [[stageCorpusBands]]: the band posting list bucketed+sorted on the
+  * band key once, so every micro-batch probe
+  * ([[nearDupMatchesBucketed]]) shuffles only the batch side and the
+  * corpus joins in place off its buckets.
   */
 object StreamingDedup {
 
@@ -75,22 +76,65 @@ object StreamingDedup {
     */
   def nearDupMatches(stream: DataFrame, corpusSig: DataFrame,
                      p: MinHashParams = DedupOps.defaultParams): DataFrame = {
-    val sigStream = withSignature(stream, p)
-      .select(col("doc_id").as("new_id"), col("__sig"))
-      .withColumn("bk", explode(expr(DedupOps.bandArrayExpr(p))))
     val corpusBands = DedupOps.bandKeysOf(corpusSig, p)
       .withColumnRenamed("doc_id", "corpus_id")
       .withColumnRenamed("bk", "cbk")
     val corpusArr = corpusSig.select(col("doc_id").as("corpus_id"),
       array((0 until p.numHashes).map(i => col(s"mh$i")): _*).as("__csig"))
-    val matches = expr(
-      "aggregate(zip_with(__sig, __csig, (x, y) -> if(x = y, 1, 0)), 0, (a, e) -> a + e)")
-    sigStream
-      .join(corpusBands, col("bk") === col("cbk"))
-      .join(corpusArr, "corpus_id")
-      .withColumn("est_jaccard", matches.cast("double") / p.numHashes)
+    matchesAgainst(stream,
+      corpusBands.join(corpusArr, "corpus_id"), p)
+  }
+
+  /** The estimated-agreement count between the stream's `__sig` and
+    * the corpus row's `__csig`. */
+  private val sigAgreement: Column = expr(
+    "aggregate(zip_with(__sig, __csig, (x, y) -> if(x = y, 1, 0)), 0, (a, e) -> a + e)")
+
+  /** Band-probe join against a prepared `(cbk, corpus_id, __csig)`
+    * posting frame. */
+  private def matchesAgainst(stream: DataFrame, posting: DataFrame,
+                             p: MinHashParams): DataFrame =
+    withSignature(stream, p)
+      .select(col("doc_id").as("new_id"), col("__sig"))
+      .withColumn("bk", explode(expr(DedupOps.bandArrayExpr(p))))
+      .join(posting, col("bk") === col("cbk"))
+      .withColumn("est_jaccard", sigAgreement.cast("double") / p.numHashes)
       .where(col("est_jaccard") >= DedupOps.estThreshold)
       .select("new_id", "corpus_id", "est_jaccard")
       .dropDuplicates("new_id", "corpus_id")
-  }
+
+  /** ONE-TIME corpus-side layout for continuous admission: the band
+    * posting list `(cbk, corpus_id, __csig)` written as a parquet
+    * table BUCKETED AND SORTED on the band key. Every subsequent
+    * micro-batch probe ([[nearDupMatchesBucketed]]) then plans a
+    * sort-merge join in which the corpus side is read bucket-aligned
+    * straight off its files — Spark shuffles and sorts ONLY the
+    * micro-batch side, into `buckets` partitions; the 100 TB corpus
+    * is never exchanged again, per batch or ever.
+    *
+    * The signature array is DENORMALIZED into the posting list
+    * (numBands copies per doc) so a probe is a single join — no
+    * second corpus-sized join to re-attach signatures. At the default
+    * 8-hash preset that is 4 copies of a 64-byte array; for the
+    * 128/16 production preset, where 16 copies of 1 KiB start to
+    * matter, stage a second table bucketed on corpus_id instead and
+    * split the probe into two bucket-aligned joins. */
+  def stageCorpusBands(spark: SparkSession, corpusSig: DataFrame,
+                       table: String, buckets: Int = 64,
+                       p: MinHashParams = DedupOps.defaultParams): Unit =
+    corpusSig.select(col("doc_id").as("corpus_id"),
+        array((0 until p.numHashes).map(i => col(s"mh$i")): _*).as("__sig"))
+      .withColumn("cbk", explode(expr(DedupOps.bandArrayExpr(p))))
+      .select(col("cbk"), col("corpus_id"), col("__sig").as("__csig"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cbk").sortBy("cbk")
+      .format("parquet").saveAsTable(table)
+
+  /** [[nearDupMatches]] against the pre-bucketed posting table from
+    * [[stageCorpusBands]] — identical output, but the static side
+    * joins in place (zero corpus shuffle per micro-batch). */
+  def nearDupMatchesBucketed(stream: DataFrame, spark: SparkSession,
+                             table: String,
+                             p: MinHashParams = DedupOps.defaultParams): DataFrame =
+    matchesAgainst(stream, spark.table(table), p)
 }

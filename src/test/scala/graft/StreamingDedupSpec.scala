@@ -82,6 +82,45 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("bucketed corpus posting table: identical matches, zero corpus-side exchange") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val batch = docs.where(expr("doc_id % 10 = 7"))
+    val corpusSig = DedupOps.minhashSignaturesOf(
+      docs.where(expr("NOT (doc_id % 10 = 7)")))
+    val table = "sd_corpus_bands"
+    StreamingDedup.stageCorpusBands(spark, corpusSig, table, buckets = 8)
+    try {
+      val bucketed = StreamingDedup.nearDupMatchesBucketed(batch, spark, table)
+      val plain = StreamingDedup.nearDupMatches(batch, corpusSig)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("new_id", "corpus_id", "est_jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+      assert(pairs(bucketed) == pairs(plain),
+        "bucketed probe must reproduce the plain stream-static matches")
+      // plan shape: force the sort-merge path (a broadcast would hide
+      // the property under test) and require the corpus scan to be
+      // bucket-aligned with NO exchange anywhere on its side — only
+      // the probe (micro-batch) side may shuffle
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "-1")
+      try {
+        val plan = StreamingDedup.nearDupMatchesBucketed(batch, spark, table)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"),
+          s"corpus posting scan must read its buckets:\n$plan")
+        // the probe (stream) side shuffles into the bucket count; the
+        // corpus side must join IN PLACE — no exchange on its key ever
+        // (the only other exchange is dropDuplicates over the already-
+        // filtered match set, which is fine at any corpus size)
+        assert("Exchange hashpartitioning\\(bk#".r.findAllIn(plan).size == 1,
+          s"probe side must shuffle to the corpus bucketing:\n$plan")
+        assert(!plan.contains("Exchange hashpartitioning(cbk"),
+          s"corpus side must never be exchanged:\n$plan")
+      } finally spark.conf.set(key, prev)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("admission agrees with the batch incremental verdicts at est level") {
     // run the batch-side q61 candidates through the streaming operator
     // in batch mode: every dup_exact/dup_near doc whose est clears the
