@@ -164,6 +164,9 @@ object SparkEntry {
     "q73_frame_sample" -> graft.functions.Multimodal.frameSample _,
     // beyond-reference: EXISTS semi join (TPC-H Q4 shape)
     "q74_priority_check" -> RelationalOps.priorityCheck _,
+    // beyond-reference: exact percentiles on a CONTINUOUS domain via
+    // range-bucketed rank selection (no per-group single-task sort)
+    "q75_price_percentiles" -> RelationalOps.pricePercentiles _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -243,5 +246,6 @@ object SparkEntry {
     "q72_topk_agg" -> RelationalOps.topKPerGroupSql,
     "q73_frame_sample" -> graft.functions.Multimodal.frameSampleSql,
     "q74_priority_check" -> RelationalOps.priorityCheckSql,
+    "q75_price_percentiles" -> RelationalOps.pricePercentilesSql,
   )
 }

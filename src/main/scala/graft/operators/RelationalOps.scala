@@ -458,6 +458,68 @@ object RelationalOps {
     ranked.groupBy(groupCol).agg(picks.head, picks.tail: _*)
   }
 
+  /** Exact per-group percentiles for CONTINUOUS value domains, where
+    * [[percentilesBy]]'s distinct-value table would be as large as the
+    * input (every value unique) and its per-group cumulative window a
+    * single-task sort again. Range-bucketed rank selection instead:
+    *   1. per-group (n, lo, hi) — one tiny aggregate, broadcast back;
+    *   2. each row maps to a value-range bucket (monotone in the
+    *      value, so bucket order IS value order); per-bucket counts —
+    *      a hash aggregate of at most `buckets` rows per group;
+    *   3. the bucket prefix-sum locates, for every target rank
+    *      ceil(q*n), WHICH bucket holds it and the residual rank
+    *      inside that bucket (groups x qs rows, broadcast);
+    *   4. only target-bucket rows are revisited, and the residual
+    *      rank is selected inside them by the same distinct-value
+    *      cumulative count [[percentilesBy]] uses.
+    * No step sorts a whole group in one task: the widest sequential
+    * work is one bucket's distinct values, ~n_group/buckets rows (an
+    * adversarial value pile-up inside one bucket is by definition a
+    * tie pile, which the distinct-value select collapses). For the
+    * extreme tail, re-bucket recursively instead of raising
+    * `buckets`; one level suffices for percentile work on real
+    * corpora. Exact for any distribution — bucketing only NARROWS
+    * where the rank is searched, the selection itself is by count,
+    * never interpolation. */
+  def percentilesByBucketed(df: DataFrame, groupCol: String, valueCol: String,
+                            qs: Seq[Double], buckets: Int = 4096): DataFrame = {
+    val vals = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+    val stats = vals.groupBy(groupCol).agg(count(lit(1)).as("__n"),
+      min("__v").as("__lo"), max("__v").as("__hi"))
+    val bucketed = vals.join(broadcast(stats), groupCol)
+      .withColumn("__b", when(col("__hi") === col("__lo"), lit(0))
+        .otherwise(least(lit(buckets - 1),
+          floor((col("__v") - col("__lo")) / (col("__hi") - col("__lo"))
+            * buckets).cast("int"))))
+    val hist = bucketed.groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .join(broadcast(stats.select(col(groupCol), col("__n"))), groupCol)
+      .withColumn("__cum",
+        sum("__c").over(Window.partitionBy(groupCol).orderBy(col("__b"))))
+    val targets = cum
+      .withColumn("__q", explode(array(qs.map(lit): _*)))
+      .withColumn("__r", ceil(col("__q") * col("__n")))
+      .where(col("__cum") >= col("__r") &&
+             col("__cum") - col("__c") < col("__r"))
+      .select(col(groupCol).as("__g"), col("__q"),
+        col("__b").as("__tb"),
+        (col("__r") - (col("__cum") - col("__c"))).as("__rr"))
+    val picked = bucketed
+      .join(broadcast(targets),
+        col(groupCol) === col("__g") && col("__b") === col("__tb"))
+      .groupBy(col(groupCol), col("__q"), col("__rr"), col("__v"))
+      .agg(count(lit(1)).as("__c2"))
+      .withColumn("__cum2", sum("__c2").over(
+        Window.partitionBy(col(groupCol), col("__q")).orderBy(col("__v"))))
+      .where(col("__cum2") >= col("__rr"))
+      .groupBy(groupCol, "__q").agg(min("__v").as("__pv"))
+    val cols = qs.map(q =>
+      max(when(col("__q") === q, col("__pv"))).as(s"p${(q * 100).round}"))
+    picked.groupBy(groupCol).agg(cols.head, cols.tail: _*)
+  }
+
   /** q64: per-language document-length percentiles — the corpus-shape
     * summary (median/tails per stratum) every curation dashboard
     * opens with. */
@@ -478,4 +540,29 @@ object RelationalOps {
       |  max(CASE WHEN rk = CAST(ceil(0.75 * n) AS INT) THEN n_chars END) AS p75,
       |  max(CASE WHEN rk = CAST(ceil(1.0 * n) AS INT) THEN n_chars END) AS p100
       |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q75: per-priority order-value percentiles over a CONTINUOUS
+    * domain (o_totalprice is near-unique), where the distinct-value
+    * plan (q64) would degenerate — the oracle for
+    * [[percentilesByBucketed]]. percentile_disc semantics select a
+    * STORED double, so the comparison stays bit-exact with no
+    * cross-engine float arithmetic. */
+  def pricePercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    percentilesByBucketed(Tables.orders(spark, sfDir), "o_orderpriority",
+        "o_totalprice", Seq(0.25, 0.5, 0.75, 1.0))
+      .orderBy("o_orderpriority")
+
+  val pricePercentilesSql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice ASC) AS rk,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  max(CASE WHEN rk = CAST(ceil(0.25 * n) AS INT) THEN o_totalprice END) AS p25,
+      |  max(CASE WHEN rk = CAST(ceil(0.5 * n) AS INT) THEN o_totalprice END) AS p50,
+      |  max(CASE WHEN rk = CAST(ceil(0.75 * n) AS INT) THEN o_totalprice END) AS p75,
+      |  max(CASE WHEN rk = CAST(ceil(1.0 * n) AS INT) THEN o_totalprice END) AS p100
+      |FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }

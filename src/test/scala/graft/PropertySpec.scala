@@ -82,6 +82,26 @@ object PropertySpec extends Properties("graft") {
       got == Set(name)
     }
 
+  property("bucketed rank selection equals exact sort on continuous + tied doubles") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 2),
+        Gen.oneOf(Gen.chooseNum(-1e6, 1e6),
+          Gen.oneOf(0.0, 1.5, -2.25))))) { raw =>
+      val xs = raw.take(150)
+      val df = xs.map { case (g, v) => (s"g$g", v) }.toDF("grp", "v")
+      val qs = Seq(0.1, 0.5, 0.9, 1.0)
+      // buckets=7 forces multi-value buckets and boundary crossings —
+      // exactness must not depend on bucket resolution
+      val got = RelationalOps.percentilesByBucketed(
+          df.repartition(5), "grp", "v", qs, buckets = 7)
+        .collect().map(r => r.getString(0) ->
+          qs.indices.map(i => r.getDouble(i + 1))).toMap
+      val exact = xs.groupBy(x => s"g${x._1}").map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        g -> qs.map(q => sorted(math.ceil(q * sorted.length).toInt - 1))
+      }
+      Prop(got == exact) :| s"got $got expected $exact"
+    }
+
   property("rank-selected percentiles equal exact sort on any grouped data") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(-500L, 500L)))) { raw =>
       val xs = raw.take(200)
