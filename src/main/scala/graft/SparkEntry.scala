@@ -167,6 +167,15 @@ object SparkEntry {
     // beyond-reference: exact percentiles on a CONTINUOUS domain via
     // range-bucketed rank selection (no per-group single-task sort)
     "q75_price_percentiles" -> RelationalOps.pricePercentiles _,
+    // beyond-reference: correlated MIN per group, window-decorrelated
+    // (TPC-H Q2 shape)
+    "q76_min_cost_supplier" -> RelationalOps.minCostSupplier _,
+    // beyond-reference: nested semi joins with a correlated aggregate
+    // threshold (TPC-H Q20 shape)
+    "q77_dominant_shippers" -> RelationalOps.dominantShippers _,
+    // beyond-reference: scalar MAX subquery over an aggregate view
+    // (TPC-H Q15 shape)
+    "q78_top_revenue_supplier" -> RelationalOps.topRevenueSupplier _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -247,5 +256,8 @@ object SparkEntry {
     "q73_frame_sample" -> graft.functions.Multimodal.frameSampleSql,
     "q74_priority_check" -> RelationalOps.priorityCheckSql,
     "q75_price_percentiles" -> RelationalOps.pricePercentilesSql,
+    "q76_min_cost_supplier" -> RelationalOps.minCostSupplierSql,
+    "q77_dominant_shippers" -> RelationalOps.dominantShippersSql,
+    "q78_top_revenue_supplier" -> RelationalOps.topRevenueSupplierSql,
   )
 }

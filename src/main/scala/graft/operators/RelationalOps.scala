@@ -541,6 +541,147 @@ object RelationalOps {
       |  max(CASE WHEN rk = CAST(ceil(1.0 * n) AS INT) THEN n_chars END) AS p100
       |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q76: min-cost supplier per part (TPC-H Q2 shape). The reference
+    * shape is a correlated MIN subquery per part; the idiomatic Spark
+    * decorrelation is a per-part window minimum over the already-
+    * joined cost table — one pass, no re-scan, and the window groups
+    * are per-part (bounded by suppliers-per-part, never stratum-
+    * sized). Unit cost is a per-row IEEE division + MIN, both
+    * order-independent, so the doubles compare bit-exact cross-engine.
+    * Scale shape: cost is one hash-agg of lineitem; supplier→nation→
+    * region is a broadcast chain (bounded dims); part filter prunes
+    * before the join. */
+  def minCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val cost = Tables.lineitem(spark, sfDir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val eu = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir))
+        .where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name")
+    val small = Tables.part(spark, sfDir)
+      .where(col("p_size") <= 15).select("p_partkey", "p_name")
+    cost
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .join(small, col("l_partkey") === col("p_partkey"))
+      .withColumn("min_cost",
+        min("unit_cost").over(Window.partitionBy("l_partkey")))
+      .where(col("unit_cost") === col("min_cost"))
+      .select("p_partkey", "p_name", "s_name", "unit_cost")
+      .orderBy("p_partkey", "s_name")
+  }
+
+  val minCostSupplierSql: String =
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eu AS (
+      |  SELECT s_suppkey, s_name FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE')
+      |SELECT p_partkey, p_name, s_name, unit_cost
+      |FROM cost JOIN eu ON l_suppkey = s_suppkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 15
+      |  AND unit_cost = (
+      |    SELECT min(c2.unit_cost) FROM cost c2
+      |    JOIN eu e2 ON c2.l_suppkey = e2.s_suppkey
+      |    WHERE c2.l_partkey = cost.l_partkey)
+      |ORDER BY p_partkey, s_name""".stripMargin
+
+  /** q77: dominant shippers (TPC-H Q20 shape) — suppliers who shipped
+    * more than 30% of the 1997 total of some red part. The nested
+    * IN-subquery chain (supplier IN ... part IN ... threshold against
+    * a correlated aggregate) becomes: per-(part, supplier) quantity
+    * aggregate, per-part total as a window sum over that SAME
+    * aggregate (no second lineitem scan), threshold filter, then a
+    * LEFT SEMI join onto suppliers. Quantities are small integers in
+    * doubles — sums are exact and order-independent. */
+  def dominantShippers(spark: SparkSession, sfDir: String): DataFrame = {
+    val red = Tables.part(spark, sfDir)
+      .where(col("p_name").startsWith("red")).select("p_partkey")
+    val shipped = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01") &&
+             col("l_shipdate") < lit("1998-01-01"))
+      .join(red, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").as("qty"))
+    val dominant = shipped
+      .withColumn("part_total",
+        sum("qty").over(Window.partitionBy("l_partkey")))
+      .where(col("qty") * 10 > col("part_total") * 3)
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
+
+  val dominantShippersSql: String =
+    """WITH shipped AS (
+      |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |  GROUP BY 1, 2)
+      |SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM shipped s1
+      |  WHERE s1.qty * 10 > 3 * (
+      |    SELECT sum(s2.qty) FROM shipped s2
+      |    WHERE s2.l_partkey = s1.l_partkey))
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q78: top-revenue suppliers (TPC-H Q15 shape) — the revenue view
+    * plus a scalar MAX subquery, kept as ties-included selection.
+    * The max attaches via a single-partition window over the
+    * supplier-quarter AGGREGATE (one row per active supplier — a
+    * milliseconds pass over a bounded frame), NOT the usual
+    * crossJoin(broadcast(agg)) scalar attachment: that pattern would
+    * re-derive the aggregate branch and re-scan lineitem — at 100 TB
+    * the second scan costs more than everything else in the query.
+    * One lineitem scan total, spec-pinned. Revenue is exact decimal
+    * (order-independent), cast back to double for the contract. */
+  def topRevenueSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01") &&
+             col("l_shipdate") < lit("1997-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .as("__rev"))
+    val best = rev
+      .withColumn("__max", max("__rev").over(Window.partitionBy()))
+      .where(col("__rev") === col("__max"))
+      .withColumn("total_revenue", col("__rev").cast("double"))
+    Tables.supplier(spark, sfDir)
+      .join(best, col("s_suppkey") === col("l_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  val topRevenueSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE r = (SELECT max(r) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** q75: per-priority order-value percentiles over a CONTINUOUS
     * domain (o_totalprice is near-unique), where the distinct-value
     * plan (q64) would degenerate — the oracle for

@@ -452,6 +452,40 @@ class CurationOpsSpec extends SparkSpec {
       s"phase-1 distinct-value count must partial-aggregate before the shuffle:\n$plan")
   }
 
+  // ---------------------------------- q76/q77/q78 subquery-shape plans
+
+  test("q76: min-cost selection keeps ties and the dim chain broadcasts") {
+    val df = graft.operators.RelationalOps.minCostSupplier(spark, sf)
+    val rows = df.select("p_partkey", "unit_cost")
+      .as[(Long, Double)].collect()
+    // every surviving row of a part carries the SAME (minimal) cost
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.map(_._2).distinct.length == 1, s"part $p kept non-minimal costs")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"supplier/nation/region chain must broadcast:\n$plan")
+  }
+
+  test("q77: the nested IN chain compiles to semi joins, never a re-scan") {
+    val df = graft.operators.RelationalOps.dominantShippers(spark, sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"IN chains must be semi joins:\n$plan")
+    assert("FileScan parquet.*lineitem".r.findAllIn(plan).size == 1,
+      s"lineitem must be scanned exactly once:\n$plan")
+  }
+
+  test("q78: scalar max over the revenue view costs ONE lineitem scan") {
+    val df = graft.operators.RelationalOps.topRevenueSupplier(spark, sf)
+    val revs = df.select("total_revenue").as[Double].collect()
+    assert(revs.nonEmpty && revs.distinct.length == 1,
+      "all returned suppliers must share the single maximal revenue")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan parquet.*lineitem".r.findAllIn(plan).size == 1,
+      s"the max must attach without re-deriving the aggregate:\n$plan")
+  }
+
   // -------------------------------------- q67/q68 warehouse join plans
 
   test("q67: top-10 is TakeOrdered, dims broadcast, date filters reach the scan") {
