@@ -176,6 +176,10 @@ object SparkEntry {
     // beyond-reference: scalar MAX subquery over an aggregate view
     // (TPC-H Q15 shape)
     "q78_top_revenue_supplier" -> RelationalOps.topRevenueSupplier _,
+    // dedup: EXACT-RECALL near-dup pairs (prefix filtering) — the
+    // deterministic complement to probabilistic LSH; oracle is the
+    // TRUE all-pairs answer
+    "q79_prefix_jaccard" -> DedupOps.prefixJaccardPairs _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -259,5 +263,6 @@ object SparkEntry {
     "q76_min_cost_supplier" -> RelationalOps.minCostSupplierSql,
     "q77_dominant_shippers" -> RelationalOps.dominantShippersSql,
     "q78_top_revenue_supplier" -> RelationalOps.topRevenueSupplierSql,
+    "q79_prefix_jaccard" -> DedupOps.prefixJaccardPairsSql,
   )
 }

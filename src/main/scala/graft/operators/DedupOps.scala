@@ -742,6 +742,84 @@ object DedupOps {
        |WHERE round(i * 1.0 / least(sa.n, sb.n), 6) >= $containThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------ prefix-filter join
+
+  /** q79: EXACT-RECALL near-dup pairs by prefix filtering (the
+    * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08).
+    * MinHash/LSH (q21/q22) has PROBABILISTIC recall: a qualifying
+    * pair can miss every band. This operator is the deterministic
+    * complement: under a global rarest-first shingle order (corpus df
+    * ascending, shingle text as tiebreak), any two sets with
+    * Jaccard >= t MUST share an element inside each other's first
+    * n - ceil(t*n) + 1 shingles — so joining prefixes alone has zero
+    * false negatives, and the oracle is the TRUE all-pairs answer,
+    * not a mirror of the candidate generator.
+    *
+    * Candidates are cut twice before verification, both sides exact:
+    * the length filter (t*nb <= na <= nb/t: sizes too far apart
+    * cannot clear t) and the PPJoin position filter — a shared prefix
+    * element at ranks (ra, rb) bounds the overlap by
+    * min(na-ra, nb-rb) + 1, and for a qualifying pair the FIRST
+    * shared element always passes, so filtering per join row then
+    * dedup-ing pairs keeps recall exact.
+    *
+    * Scale shape: one df aggregate + per-doc top-(n-ceil(tn)+1)
+    * window (per-doc rows, never stratum-sized), a self-join whose
+    * posting lists hold the corpus's RAREST shingles first, then the
+    * shared candidates-only verify join. The tradeoff vs LSH is
+    * explicit: guaranteed recall for posting-list-sized candidate
+    * cost at low t; at t >= 0.8 prefixes are tiny and this is the
+    * cheaper operator as well. */
+  def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    prefixJaccardFrom(sharedShingles(spark, sfDir))
+      .orderBy("doc_a", "doc_b")
+
+  /** [[prefixJaccardPairs]] over an arbitrary `(doc_id, text)` frame. */
+  def prefixJaccardPairsOf(docs: DataFrame): DataFrame =
+    prefixJaccardFrom(shinglesOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def prefixJaccardFrom(bg0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = jaccardThreshold
+    val bg = bg0.select("doc_id", "s")
+    val dfs = bg.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+    val prefix = bg.join(dfs, "s")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .where(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select("doc_id", "s", "rk", "n")
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .where(col("y.n") >= lit(t) * col("x.n") &&
+             col("x.n") >= lit(t) * col("y.n"))
+      .where(least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk")) + 1 >=
+             lit(t / (1 + t)) * (col("x.n") + col("y.n")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    overlapStats(cand, bg, "doc_a", "doc_b")
+      .withColumn("jaccard", jaccardCol)
+      .where(col("jaccard") >= t)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** The TRUE all-pairs answer — not a candidate-generator mirror:
+    * the oracle PROVES the prefix filter's recall guarantee. */
+  val prefixJaccardPairsSql: String =
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest($duckBigrams) AS s FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+       |  FROM bg x JOIN bg y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+       |           JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= $jaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // -------------------------------------------------- incremental dedup
 
   /** The "today's crawl" stand-in: a deterministic tenth of the corpus

@@ -32,6 +32,34 @@ class DedupAnnSpec extends SparkSpec {
     })
   }
 
+  test("q79: prefix-filter pairs are a superset of LSH-verified pairs") {
+    // LSH recall is probabilistic (a qualifying pair can miss every
+    // band); prefix filtering is deterministic. Same threshold, same
+    // shingles: everything LSH+verify finds, the prefix join MUST
+    // find — the reverse can legitimately differ.
+    val prefixed = DedupOps.prefixJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.jaccardVerify(spark, sf, DedupOps.defaultParams)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(prefixed),
+      s"prefix join missed LSH-verified pairs: ${(lsh -- prefixed).take(5)}")
+    // and every emitted pair genuinely clears the threshold
+    DedupOps.prefixJaccardPairs(spark, sf).select("jaccard").collect()
+      .foreach(r => assert(r.getDouble(0) >= DedupOps.jaccardThreshold))
+  }
+
+  test("q79: prefix filter catches a pair on hand-built near-dup data") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearA = (1 to 30).map(i => if (i == 30) "zz" else s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearA),
+      (3L, "totally different content here entirely unrelated words"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.prefixJaccardPairsOf(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"expected exactly the near pair, got $got")
+  }
+
   test("staging materializes shared dedup tables once and reuses them") {
     val dirs = DedupOps.stageSignatures(spark, sf)
     assert(dirs.size == 4, "staging should be on by default in tests")
