@@ -766,39 +766,67 @@ object DedupOps {
     * Scale shape: one df aggregate + per-doc top-(n-ceil(tn)+1)
     * window (per-doc rows, never stratum-sized), a self-join whose
     * posting lists hold the corpus's RAREST shingles first, then the
-    * shared candidates-only verify join. The tradeoff vs LSH is
-    * explicit: guaranteed recall for posting-list-sized candidate
-    * cost at low t; at t >= 0.8 prefixes are tiny and this is the
-    * cheaper operator as well. */
+    * shared candidates-only verify join. Prefix length is (1-t)n+1,
+    * so the regime matters: at the LSH threshold 0.5 half of every
+    * document is prefix and the self-join explodes (measured 33 s at
+    * sf0.1 vs 4 s for LSH+verify) — prefix filtering is the HIGH-
+    * threshold tool, and [[prefixThreshold]] = 0.8 pins it there
+    * (measured: the same corpus in ~1 s). Division of labor:
+    * LSH for broad candidate recall at 0.5, the prefix join for
+    * guaranteed-recall tight duplicates at 0.8+. */
+  val prefixThreshold = 0.8
+
   def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
-    prefixJaccardFrom(sharedShingles(spark, sfDir))
+    prefixJaccardFrom(sharedShingles(spark, sfDir), prefixThreshold)
       .orderBy("doc_a", "doc_b")
 
   /** [[prefixJaccardPairs]] over an arbitrary `(doc_id, text)` frame. */
-  def prefixJaccardPairsOf(docs: DataFrame): DataFrame =
+  def prefixJaccardPairsOf(docs: DataFrame,
+                           t: Double = prefixThreshold): DataFrame =
     prefixJaccardFrom(shinglesOf(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), t)
 
-  private def prefixJaccardFrom(bg0: DataFrame): DataFrame = {
+  private def prefixJaccardFrom(bg0: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = jaccardThreshold
     val bg = bg0.select("doc_id", "s")
     val dfs = bg.groupBy("s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+    // loosest (probe) prefix: (1-t)n + 1 rarest shingles per doc
     val prefix = bg.join(dfs, "s")
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .where(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
       .select("doc_id", "s", "rk", "n")
+    // PPJoin asymmetry: order each pair by (n, doc_id); the LARGER
+    // side x keeps its probe prefix, the smaller side y only needs
+    // the index prefix n - ceil(2t/(1+t)*n) + 1 (its worst-case
+    // qualifying overlap is against an equal-size partner) — the
+    // shorter list on one side multiplies out of the bucket sizes
+    val larger = col("x.n") > col("y.n") ||
+      (col("x.n") === col("y.n") && col("x.doc_id") > col("y.doc_id"))
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .where(col("y.n") >= lit(t) * col("x.n") &&
-             col("x.n") >= lit(t) * col("y.n"))
+        col("x.s") === col("y.s") && larger &&
+        col("y.rk") <=
+          col("y.n") - ceil(lit(2 * t / (1 + t)) * col("y.n")) + 1)
+      .where(col("x.n") <= col("y.n") / t)
       .where(least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk")) + 1 >=
              lit(t / (1 + t)) * (col("x.n") + col("y.n")))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+              greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    overlapStats(cand, bg, "doc_a", "doc_b")
+    // verify by per-doc shingle SETS (docs are rows, not explosions):
+    // two joins against the doc-level set table + a codegen
+    // array_intersect beat re-exploding the corpus into a
+    // (pair x shingle) shuffle; for corpora of BOOK-sized documents
+    // (arrays of 10^4+) flip back to the exploded overlapStats join
+    val sets = bg.groupBy("doc_id")
+      .agg(collect_list("s").as("ss"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", jaccardCol)
       .where(col("jaccard") >= t)
       .select("doc_a", "doc_b", "jaccard")
@@ -817,7 +845,7 @@ object DedupOps {
        |SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
        |           JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= $jaccardThreshold
+       |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= $prefixThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------- incremental dedup

@@ -1,34 +1,41 @@
 package graft.tools
 
-import org.apache.spark.sql.DataFrame
-
-/** Throwaway in-JVM A/B harness (not part of the library). */
+/** Throwaway profiling harness (not part of the library). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.GraftSession.local("graft-scratch")
     import org.apache.spark.sql.functions._
-    // worst-case stratum skew: ONE group holding every row; 10x union
-    // of sf0.1 lineitem ~ 6M rows
-    val li = (1 to 10).map(_ => graft.Tables.lineitem(spark, sfDir))
-      .reduce(_ unionByName _)
-      .withColumn("g", lit("all"))
-      .select("g", "l_quantity", "l_extendedprice")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    println(s"[scratch] rows = ${li.count()}")
-    val qs = Seq(0.25, 0.5, 0.75, 1.0)
-    def med(name: String)(body: => DataFrame): Unit = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); body.collect(); (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"[scratch] $name: median ${ts(1)}%.2f s (${ts.map(t => f"$t%.2f").mkString(",")})")
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.8
+    val bg = graft.operators.DedupOps.sharedShingles(spark, sfDir)
+      .select("doc_id", "s")
+    def tm(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s (n=$n)")
     }
-    val R = graft.operators.RelationalOps
-    med("discrete  l_quantity       windowed ")(R.percentilesByWindowed(li, "g", "l_quantity", qs))
-    med("discrete  l_quantity       two-phase")(R.percentilesBy(li, "g", "l_quantity", qs))
-    med("continuous l_extendedprice windowed ")(R.percentilesByWindowed(li, "g", "l_extendedprice", qs))
-    med("continuous l_extendedprice two-phase")(R.percentilesBy(li, "g", "l_extendedprice", qs))
-    med("continuous l_extendedprice bucketed ")(R.percentilesByBucketed(li, "g", "l_extendedprice", qs))
+    tm("bg rows")(bg.count())
+    val dfs = bg.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+    val prefix = bg.join(dfs, "s")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .where(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select("doc_id", "s", "rk", "n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tm("prefix rows")(prefix.count())
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .where(col("y.n") >= lit(t) * col("x.n") &&
+             col("x.n") >= lit(t) * col("y.n"))
+      .where(least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk")) + 1 >=
+             lit(t / (1 + t)) * (col("x.n") + col("y.n")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tm("cand pairs")(cand.count())
+    tm("full q79")(graft.operators.DedupOps.prefixJaccardPairs(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -39,13 +39,17 @@ class DedupAnnSpec extends SparkSpec {
     // find — the reverse can legitimately differ.
     val prefixed = DedupOps.prefixJaccardPairs(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH runs at 0.5, the prefix join at its own 0.8 regime: every
+    // LSH-verified pair AT OR ABOVE the prefix threshold must appear
     val lsh = DedupOps.jaccardVerify(spark, sf, DedupOps.defaultParams)
+      .where(org.apache.spark.sql.functions.col("jaccard") >= DedupOps.prefixThreshold)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "fixture must contain tight near-dups")
     assert(lsh.subsetOf(prefixed),
       s"prefix join missed LSH-verified pairs: ${(lsh -- prefixed).take(5)}")
     // and every emitted pair genuinely clears the threshold
     DedupOps.prefixJaccardPairs(spark, sf).select("jaccard").collect()
-      .foreach(r => assert(r.getDouble(0) >= DedupOps.jaccardThreshold))
+      .foreach(r => assert(r.getDouble(0) >= DedupOps.prefixThreshold))
   }
 
   test("q79: prefix filter catches a pair on hand-built near-dup data") {

@@ -102,6 +102,32 @@ object PropertySpec extends Properties("graft") {
       Prop(got == exact) :| s"got $got expected $exact"
     }
 
+  property("prefix-filter jaccard join equals driver-side brute force") =
+    forAll(Gen.listOfN(10,
+        Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
+          .map(_.take(10)))) { raw =>
+      // duplicated tail guarantees exact-dup positives; the random
+      // small-vocab docs produce incidental near-dups and misses
+      val docs = (raw ++ raw.take(3)).zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.operators.DedupOps.prefixJaccardPairsOf(df)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.catalog.clearCache()
+      def sh(ts: Seq[String]): Set[String] =
+        ts.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+      val sets = docs.map { case (i, text) => i -> sh(text.split(" ").toSeq) }
+      val brute = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib && sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >=
+          graft.operators.DedupOps.prefixThreshold
+      } yield (ia, ib)).toSet
+      Prop(got == brute) :| s"got $got expected $brute"
+    }
+
   property("rank-selected percentiles equal exact sort on any grouped data") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(-500L, 500L)))) { raw =>
       val xs = raw.take(200)
