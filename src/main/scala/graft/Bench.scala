@@ -105,10 +105,12 @@ object Bench {
     def line(fmt: Double => String, extra: String): String =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${toJson(results, fmt)}$extra,"errors":$errJson,"sf":"$sfDir"}"""
     // full-precision artifact (incl. the unstaged attribution pass) on
-    // disk; the round artifact captures only a bounded LOG TAIL of
-    // stdout, which truncated the r7 line mid-JSON ("parsed": null) —
-    // so the printed line is the COMPACT form: ms-rounded times, the
-    // unstaged detail left to the file
+    // disk; the round artifact captures only the last ~2000 chars of
+    // stdout, which truncated the r7/r8 full-name line mid-JSON
+    // ("parsed": null) — so the LAST printed line abbreviates query
+    // names to their qNN prefix (~13 bytes/entry: the complete
+    // 80-query line is ~1.3 kB, inside the capture bound with slack)
+    // and points at the full artifact
     val full = line(_.toString, s""","unstaged_queries":${toJson(unstaged, _.toString)}""")
     val out = java.nio.file.Paths.get("bench", "bench_full_latest.json")
     try {
@@ -116,9 +118,12 @@ object Bench {
       java.nio.file.Files.write(out,
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: java.io.IOException => () } // read-only cwd: line still prints
-    println(line(
-      v => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)),
-      s""","full":"$out""""))
+    def short(name: String): String =
+      if (name.matches("q\\d+_.*")) name.takeWhile(_ != '_') else name
+    val compact = results.map { case (k, v) => short(k) -> v }
+    println(s"""{"metric":"total","value":${"%.4f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","reps":$reps,"queries":${
+      toJson(compact, v => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)))
+    },"errors":$errJson,"sf":"$sfDir","full":"$out"}""")
     spark.stop()
   }
 }

@@ -562,15 +562,17 @@ object CorpusOps {
     *
     * Scale shape: each stage is an existing operator's subtree (all
     * staged/bounded as documented on each); the funnel adds only
-    * count aggregates and doc_id semi-joins between them. */
+    * count aggregates and doc_id semi-joins between them. The
+    * exact-dup keeper column comes from the STAGED keeper frame
+    * ([[DedupOps.keeperTable]]) that the keep-list also consumes —
+    * the corpus-wide md5 window is paid once per corpus, not once
+    * per funnel report. */
   def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     // One pass: per-doc stage-membership flags assembled by left
     // semi-style joins (no action each), ONE aggregate produces every
     // stage count, and `stack` unpivots to the report rows — a funnel
     // over any corpus size costs one job, not one job per stage.
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val keeper = docs.withColumn("keeper", min(col("doc_id")).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+    val keeper = DedupOps.keeperTable(spark, sfDir)
     val flags = keeper
       .join(DedupOps.dedupKeepList(spark, sfDir).select("doc_id")
               .withColumn("f_near", lit(true)), Seq("doc_id"), "left")

@@ -140,6 +140,11 @@ object DedupOps {
             verifiedTable(spark, sfDir, p): Unit // builds sig + cand read-through
           }) ++
           Seq(chain("simhash") { simhashTable(spark, sfDir): Unit }) ++
+          Seq(chain("prefix") {
+            prefixTable(spark, sfDir, prefixThreshold): Unit
+            docSetsTable(spark, sfDir): Unit
+          }) ++
+          Seq(chain("keeper") { keeperTable(spark, sfDir): Unit }) ++
           (if (ivf) Seq(chain("ivf") { EmbeddingOps.stageIvf(spark, sfDir): Unit })
            else Nil)
         try Await.result(Future.sequence(chains), Duration.Inf): Unit
@@ -480,16 +485,35 @@ object DedupOps {
 
   // ---------------------------------------------------------- keep-list
 
+  /** Exact-duplicate keeper frame: one row per doc with the survivor
+    * (minimum doc_id) of its identical-text group — the corpus-wide
+    * md5 window every exact-dedup consumer needs. STAGED (`keeper`):
+    * the keep-list (q32), the cluster labeling (q47), and the
+    * curation funnel (q63) all consume it; computing the window once
+    * and serving parquet scans removes a corpus-wide shuffle+sort per
+    * consumer (round-7/8 verdict item). */
+  private[graft] def keeperTable(spark: SparkSession, sfDir: String): DataFrame = {
+    def compute = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+      .select("doc_id", "keeper")
+    stagingRoot match {
+      case None => compute
+      case _    => staged(spark, sfDir, "keeper")(compute)
+    }
+  }
+
   /** End-to-end dedup keep-list: drop exact duplicates (keep the
     * minimum doc_id per identical text) and near-duplicates (for each
     * LSH-verified pair, keep the smaller id). The typical final stage
     * of a training-data dedup pipeline: the output is the surviving
     * corpus. Anti-joins keep it linear — no O(n²) anywhere. */
   def dedupKeepList(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val exactDrop = docs
-      .withColumn("keeper", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+    // base doc list from the raw table (a pruned one-column scan), so
+    // the keeper window is referenced exactly once even with staging
+    // off (where keeperTable recomputes per reference)
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val exactDrop = keeperTable(spark, sfDir)
       .where(col("doc_id") =!= col("keeper"))
       .select("doc_id")
     val nearDrop = jaccardVerify(spark, sfDir).select(col("doc_b").as("doc_id"))
@@ -534,10 +558,8 @@ object DedupOps {
     * sizes come from one window over cluster_id. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val exactPairs = docs
-      .withColumn("keeper", min(col("doc_id")).over(
-        Window.partitionBy(md5(col("text")))))
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val exactPairs = keeperTable(spark, sfDir)
       .where(col("doc_id") =!= col("keeper"))
       .select(col("keeper").as("src"), col("doc_id").as("dst"))
     val nearPairs = jaccardVerify(spark, sfDir)
@@ -766,62 +788,177 @@ object DedupOps {
     * Scale shape: one df aggregate + per-doc top-(n-ceil(tn)+1)
     * window (per-doc rows, never stratum-sized), a self-join whose
     * posting lists hold the corpus's RAREST shingles first, then the
-    * shared candidates-only verify join. Prefix length is (1-t)n+1,
-    * so the regime matters: at the LSH threshold 0.5 half of every
-    * document is prefix and the self-join explodes (measured 33 s at
-    * sf0.1 vs 4 s for LSH+verify) — prefix filtering is the HIGH-
-    * threshold tool, and [[prefixThreshold]] = 0.8 pins it there
-    * (measured: the same corpus in ~1 s). Division of labor:
+    * shared candidates-only verify join. The prefix frame and the
+    * doc-level set table are STAGED artifacts (`prefix_t*`,
+    * `doc_sets`) — the self-join's two sides and the verify's two
+    * sides each scan parquet instead of recomputing the df-aggregate
+    * + per-doc window subtree per reference (that recomputation was
+    * the whole cost: 4.9 s unstaged vs ~1 s staged at sf0.1).
+    * Prefix length is (1-t)n+1, so the regime matters: at the LSH
+    * threshold 0.5 half of every document is prefix and the self-join
+    * explodes (measured 33 s at sf0.1 vs 4 s for LSH+verify) —
+    * prefix filtering is the HIGH-threshold tool, and
+    * [[prefixThreshold]] = 0.8 pins it there. Division of labor:
     * LSH for broad candidate recall at 0.5, the prefix join for
     * guaranteed-recall tight duplicates at 0.8+. */
   val prefixThreshold = 0.8
 
+  /** The candidate-side threshold is loosened by the oracle's rounding
+    * half-ulp: verification (and the DuckDB oracle) accept
+    * round(jaccard, 6) >= t, so a pair with true Jaccard in
+    * [t - 5e-7, t) passes the rounded compare — the prefix/length/
+    * position filters must not prune it. Only reachable for documents
+    * with ~400k+ distinct shingles, but exact recall means exact. */
+  private def loosened(t: Double): Double = t - 5e-7
+
   def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
-    prefixJaccardFrom(sharedShingles(spark, sfDir), prefixThreshold)
+    verifyPrefixPairs(
+        candidatesFrom(prefixTable(spark, sfDir, prefixThreshold),
+          prefixThreshold),
+        docSetsTable(spark, sfDir), prefixThreshold)
       .orderBy("doc_a", "doc_b")
 
-  /** [[prefixJaccardPairs]] over an arbitrary `(doc_id, text)` frame. */
+  /** [[prefixJaccardPairs]] over an arbitrary `(doc_id, text)` frame.
+    * EAGER (runs a job before returning): the candidate pairs are
+    * localCheckpoint-ed so the persisted prefix frame can be released
+    * before the result is handed back — repeated calls must not
+    * accumulate cached RDDs for the session's lifetime. The shingle
+    * explode is narrow and recomputed per consumer (measured cheaper
+    * than materializing it; see the staging notes above). */
   def prefixJaccardPairsOf(docs: DataFrame,
-                           t: Double = prefixThreshold): DataFrame =
-    prefixJaccardFrom(shinglesOf(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), t)
+                           t: Double = prefixThreshold): DataFrame = {
+    val bg = shinglesOf(docs).select("doc_id", "s", "h60")
+    val prefix = prefixFrom(bg, t)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try verifyPrefixPairs(
+        candidatesFrom(prefix, t).localCheckpoint(true), setsFrom(bg), t)
+    finally { prefix.unpersist(false): Unit }
+  }
 
-  private def prefixJaccardFrom(bg0: DataFrame, t: Double): DataFrame = {
+  /** Probe prefix per doc under the global rarest-first order: the
+    * (1-t)n + 1 rarest shingles, ranked. One df aggregate + one
+    * per-doc window — per-doc rows, never stratum-sized. The emitted
+    * join key is the 60-bit shingle hash, not the string: h60 is a
+    * FUNCTION of the shingle, so equal shingles always collide (no
+    * candidate is ever lost) and the self-join compares longs instead
+    * of strings; a spurious h60 collision only adds a candidate the
+    * verify stage discards. */
+  private def prefixFrom(bg: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bg = bg0.select("doc_id", "s")
+    val tL = loosened(t)
     val dfs = bg.groupBy("s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
-    // loosest (probe) prefix: (1-t)n + 1 rarest shingles per doc
-    val prefix = bg.join(dfs, "s")
+    bg.join(dfs, "s")
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .where(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
-      .select("doc_id", "s", "rk", "n")
-    // PPJoin asymmetry: order each pair by (n, doc_id); the LARGER
-    // side x keeps its probe prefix, the smaller side y only needs
-    // the index prefix n - ceil(2t/(1+t)*n) + 1 (its worst-case
-    // qualifying overlap is against an equal-size partner) — the
-    // shorter list on one side multiplies out of the bucket sizes
+      .where(col("rk") <= col("n") - ceil(lit(tL) * col("n")) + 1)
+      .select("doc_id", "h60", "rk", "n")
+  }
+
+  /** Staged probe-prefix frame (`prefix_t800` for the default 0.8):
+    * the df-aggregate + window subtree is computed ONCE per corpus;
+    * the self-join's two references then scan parquet. */
+  private[graft] def prefixTable(spark: SparkSession, sfDir: String,
+                          t: Double): DataFrame = {
+    val compute = prefixFrom(
+      sharedShingles(spark, sfDir).select("doc_id", "s", "h60"), t)
+    stagingRoot match {
+      case None => compute
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ =>
+        staged(spark, sfDir, s"prefix_t${math.round(t * 1000)}")(compute)
+    }
+  }
+
+  /** Doc-level shingle-set table (`doc_sets`): one row per doc with
+    * the sorted distinct-shingle array + its size. The verify stage
+    * joins it twice (doc_a / doc_b side); staged so each side is a
+    * parquet scan, not a corpus-wide collect_list aggregate. */
+  private[graft] def docSetsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val compute =
+      setsFrom(sharedShingles(spark, sfDir).select("doc_id", "s", "h60"))
+    stagingRoot match {
+      case None => compute
+      case _    => staged(spark, sfDir, "doc_sets")(compute)
+    }
+  }
+
+  /** Per-doc set table: sorted h60 array (`hs`, the cheap long-compare
+    * intersect input), its DISTINCT size (`nh` — shy of `n` only when
+    * two of the doc's shingles collide on h60, the slack term of the
+    * verify bound), sorted shingle-string array (`ss`, the exact
+    * confirm input — column-pruned away unless a pair survives the
+    * hash stage), and the set size. */
+  private def setsFrom(bg: DataFrame): DataFrame =
+    bg.groupBy("doc_id")
+      .agg(sort_array(collect_list("h60")).as("hs"),
+        size(array_distinct(collect_list("h60"))).as("nh"),
+        sort_array(collect_list("s")).as("ss"), count(lit(1)).as("n"))
+
+  /** PPJoin candidate generation over a prefix frame. Asymmetry:
+    * order each pair by (n, doc_id); the LARGER side x keeps its
+    * probe prefix, the smaller side y only needs the index prefix
+    * n - ceil(2t/(1+t)*n) + 1 (its worst-case qualifying overlap is
+    * against an equal-size partner) — the shorter list on one side
+    * multiplies out of the bucket sizes. The position filter bounds
+    * overlap by min(na-ra, nb-rb) + 1 per shared prefix element; the
+    * FIRST shared element of a qualifying pair always passes, so
+    * recall stays exact. */
+  private[graft] def candidatesFrom(prefix: DataFrame, t: Double): DataFrame = {
+    val tL = loosened(t)
     val larger = col("x.n") > col("y.n") ||
       (col("x.n") === col("y.n") && col("x.doc_id") > col("y.doc_id"))
-    val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.s") === col("y.s") && larger &&
+    prefix.as("x").join(prefix.as("y"),
+        col("x.h60") === col("y.h60") && larger &&
         col("y.rk") <=
-          col("y.n") - ceil(lit(2 * t / (1 + t)) * col("y.n")) + 1)
-      .where(col("x.n") <= col("y.n") / t)
+          col("y.n") - ceil(lit(2 * tL / (1 + tL)) * col("y.n")) + 1)
+      .where(col("x.n") <= col("y.n") / tL)
       .where(least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk")) + 1 >=
-             lit(t / (1 + t)) * (col("x.n") + col("y.n")))
+             lit(tL / (1 + tL)) * (col("x.n") + col("y.n")))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
               greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    // verify by per-doc shingle SETS (docs are rows, not explosions):
-    // two joins against the doc-level set table + a codegen
-    // array_intersect beat re-exploding the corpus into a
-    // (pair x shingle) shuffle; for corpora of BOOK-sized documents
-    // (arrays of 10^4+) flip back to the exploded overlapStats join
-    val sets = bg.groupBy("doc_id")
-      .agg(collect_list("s").as("ss"), count(lit(1)).as("n"))
-    cand
+  }
+
+  /** Exact verify by per-doc shingle SETS (docs are rows, not
+    * explosions): joins against the doc-level set table beat
+    * re-exploding the corpus into a (pair x shingle) shuffle; for
+    * corpora of BOOK-sized documents (arrays of 10^4+) flip back to
+    * the exploded overlapStats join.
+    *
+    * Two stages, both with zero false negatives:
+    *   1. HASH upper bound — intersect the sorted h60 arrays (long
+    *      compares, no string hashing). h60 is a function of the
+    *      shingle, so every shared shingle lands in the hash
+    *      intersection; the only way i_hash undercounts i_true is a
+    *      WITHIN-DOC h60 collision, and each such collision also
+    *      shrinks the doc's distinct-hash count, so
+    *      i_true <= i_hash + min(na - nha, nb - nhb) — a provable
+    *      upper bound (slack exactly 0 on a collision-free corpus).
+    *      Filtering that bound against t (loosened by the rounding
+    *      half-ulp) can only drop pairs the exact compare would drop
+    *      too. This is where a candidate-heavy corpus (small
+    *      vocabulary → weak prefix pruning) gets cheap: measured
+    *      6.2 s -> sub-second on 667k candidates at sf0.1.
+    *   2. EXACT confirm — only survivors (the near-dups themselves,
+    *      plus the rare hash-bound overshoot) touch the string
+    *      arrays; the final compare is the ORACLE's compare —
+    *      round(j, 6) >= t. */
+  private[graft] def verifyPrefixPairs(cand: DataFrame, sets: DataFrame,
+                                t: Double): DataFrame = {
+    val hashPass = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("n").as("na"), col("nh").as("nha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("n").as("nb"), col("nh").as("nhb")), "doc_b")
+      .withColumn("iu",
+        graft.functions.SortedIntersectCount
+          .sorted_intersect_count(col("ha"), col("hb")) +
+        least(col("na") - col("nha"), col("nb") - col("nhb")))
+      .where(col("iu") * lit(1.0) / (col("na") + col("nb") - col("iu")) >=
+             loosened(t))
+      .select("doc_a", "doc_b")
+    hashPass
       .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
         col("n").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"),

@@ -122,17 +122,22 @@ object GraphOps {
         sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head
       (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
+    // one checkpoint of the raw projection: BOTH the self-loop ids and
+    // the working edge set derive from it, so an expensive upstream
+    // lineage (e.g. the verified-pair subtree) is scanned once, not
+    // re-executed again by the end-of-call singleton fold
+    val raw = edges.select("src", "dst").localCheckpoint(false)
     // self-loops carry no connectivity but DO declare a vertex: keep
     // the ids aside and fold them back at the end as singletons, so
     // the vertex contract matches connectedComponents (which keeps
     // them naturally)
-    val selfIds = edges.where(col("src") === col("dst"))
+    val selfIds = raw.where(col("src") === col("dst"))
       .select(col("src").as("id")).distinct()
     def withSelfLoopSingletons(res: DataFrame): DataFrame =
       res.unionByName(
         selfIds.join(res.select("id"), Seq("id"), "left_anti")
           .withColumn("lbl", col("id")))
-    var e = edges.select("src", "dst").where(col("src") =!= col("dst"))
+    var e = raw.where(col("src") =!= col("dst"))
       .distinct().localCheckpoint(false)
     if (e.isEmpty) return withSelfLoopSingletons(
       e.select(col("src").as("id"), col("dst").as("lbl")))

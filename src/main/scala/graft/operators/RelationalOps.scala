@@ -423,7 +423,11 @@ object RelationalOps {
     * window, not billions of rows in one task's sort. */
   def percentilesBy(df: DataFrame, groupCol: String, valueCol: String,
                     qs: Seq[Double]): DataFrame = {
-    val counts = df.groupBy(groupCol, valueCol).agg(count(lit(1)).as("__c"))
+    // NULL values are excluded up front (percentile_disc semantics,
+    // matching percentilesByBucketed): counting them in __n while
+    // min(when(...)) can never select them would skew every rank
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(groupCol, valueCol).agg(count(lit(1)).as("__c"))
     val cum = counts
       .withColumn("__hi", sum("__c").over(
         Window.partitionBy(groupCol).orderBy(col(valueCol).asc)))
@@ -446,8 +450,9 @@ object RelationalOps {
       qs: Seq[Double]): DataFrame = {
     // row_number's tie order is partition-dependent, but tied rows
     // carry the SAME value, so the value selected at any rank is
-    // deterministic — no tiebreak column needed
-    val ranked = df
+    // deterministic — no tiebreak column needed. NULLs excluded like
+    // the two-phase variants, so the three engines stay equivalent.
+    val ranked = df.where(col(valueCol).isNotNull)
       .withColumn("__rank", row_number().over(
         Window.partitionBy(groupCol).orderBy(col(valueCol).asc)))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
@@ -475,14 +480,21 @@ object RelationalOps {
     * No step sorts a whole group in one task: the widest sequential
     * work is one bucket's distinct values, ~n_group/buckets rows (an
     * adversarial value pile-up inside one bucket is by definition a
-    * tie pile, which the distinct-value select collapses). For the
-    * extreme tail, re-bucket recursively instead of raising
-    * `buckets`; one level suffices for percentile work on real
-    * corpora. Exact for any distribution — bucketing only NARROWS
-    * where the rank is searched, the selection itself is by count,
-    * never interpolation. */
+    * tie pile, which the distinct-value select collapses) — UNLESS
+    * the pile-up is of DISTINCT values crammed into one bucket's
+    * value range (a heavy tail under a huge outlier-stretched [lo,
+    * hi]). `levels = 2` handles that tail by re-bucketing each
+    * TARGET bucket over its own (lo, hi) before the distinct-value
+    * select, cutting the sequential step to ~n_group/buckets² rows;
+    * the extra cost is two aggregates over target-bucket rows only
+    * (not the whole group), so the default stays 1. Exact for any
+    * distribution at either level — bucketing only NARROWS where the
+    * rank is searched, the selection itself is by count, never
+    * interpolation. */
   def percentilesByBucketed(df: DataFrame, groupCol: String, valueCol: String,
-                            qs: Seq[Double], buckets: Int = 4096): DataFrame = {
+                            qs: Seq[Double], buckets: Int = 4096,
+                            levels: Int = 1): DataFrame = {
+    require(levels == 1 || levels == 2, s"levels must be 1 or 2, got $levels")
     val vals = df.where(col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol).cast("double").as("__v"))
     val stats = vals.groupBy(groupCol).agg(count(lit(1)).as("__n"),
@@ -506,9 +518,41 @@ object RelationalOps {
       .select(col(groupCol).as("__g"), col("__q"),
         col("__b").as("__tb"),
         (col("__r") - (col("__cum") - col("__c"))).as("__rr"))
-    val picked = bucketed
+    // rows of the TARGET buckets only, tagged with the residual rank;
+    // every (group, q) names exactly one target bucket
+    val tRows = bucketed
       .join(broadcast(targets),
         col(groupCol) === col("__g") && col("__b") === col("__tb"))
+      .select(col(groupCol), col("__q"), col("__rr"), col("__v"))
+    // level 2: the same histogram → prefix-sum → residual-rank
+    // narrowing, replayed INSIDE each target bucket over its own
+    // value range (the level-2 "group" is the (group, q) target)
+    val finalRows =
+      if (levels == 1) tRows
+      else {
+        val tStats = tRows.groupBy(groupCol, "__q")
+          .agg(min("__v").as("__lo2"), max("__v").as("__hi2"))
+        val sub = tRows.join(broadcast(tStats), Seq(groupCol, "__q"))
+          .withColumn("__b2", when(col("__hi2") === col("__lo2"), lit(0))
+            .otherwise(least(lit(buckets - 1),
+              floor((col("__v") - col("__lo2")) /
+                (col("__hi2") - col("__lo2")) * buckets).cast("int"))))
+        val cum2 = sub.groupBy(col(groupCol), col("__q"), col("__rr"),
+            col("__b2")).agg(count(lit(1)).as("__c"))
+          .withColumn("__cum", sum("__c").over(
+            Window.partitionBy(col(groupCol), col("__q")).orderBy(col("__b2"))))
+        val targets2 = cum2
+          .where(col("__cum") >= col("__rr") &&
+                 col("__cum") - col("__c") < col("__rr"))
+          .select(col(groupCol).as("__g2"), col("__q").as("__q2"),
+            col("__b2").as("__tb2"),
+            (col("__rr") - (col("__cum") - col("__c"))).as("__rr2"))
+        sub.join(broadcast(targets2),
+            col(groupCol) === col("__g2") && col("__q") === col("__q2") &&
+            col("__b2") === col("__tb2"))
+          .select(col(groupCol), col("__q"), col("__rr2").as("__rr"), col("__v"))
+      }
+    val picked = finalRows
       .groupBy(col(groupCol), col("__q"), col("__rr"), col("__v"))
       .agg(count(lit(1)).as("__c2"))
       .withColumn("__cum2", sum("__c2").over(

@@ -22,7 +22,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object Staging {
 
   /** Bump when any staged-table semantics change. */
-  private val stageVersion = "v1"
+  private val stageVersion = "v2" // r9: prefix carries h60; doc_sets adds hs/nh
 
   private val overrideRoot =
     new scala.util.DynamicVariable[Option[Option[String]]](None)

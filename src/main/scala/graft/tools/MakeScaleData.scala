@@ -52,10 +52,28 @@ object MakeScaleData {
     }.reduce(_ unionByName _)
   }
 
+  /** K-fold replication of the TPC-H FACT tables for relational scale
+    * points: lineitem/orders replicate with the order key remapped per
+    * replica (so the two stay join-consistent and order-grain queries
+    * scale linearly), while part/supplier keys are left alone — the
+    * fact grows, the dimensions stay fixed, which is how a warehouse
+    * actually scales (more transactions against the same catalog). */
+  private def replicated(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    (0 until k).map { r =>
+      if (r == 0) df
+      else df.withColumn(keyCol, col(keyCol) + lit(r * 1000000000L))
+    }.reduce(_ unionByName _)
+
+  def scaledLineitem(spark: SparkSession, src: String, k: Int): DataFrame =
+    replicated(Tables.lineitem(spark, src), "l_orderkey", k)
+
+  def scaledOrders(spark: SparkSession, src: String, k: Int): DataFrame =
+    replicated(Tables.orders(spark, src), "o_orderkey", k)
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: MakeScaleData <srcSfDir> <dstDir> <k>")
-    val Array(src, dst, ks) = args
-    val k = ks.toInt
+    require(args.length >= 3,
+      "usage: MakeScaleData <srcSfDir> <dstDir> <k> [tpch]")
+    val src = args(0); val dst = args(1); val k = args(2).toInt
     val spark = GraftSession.local("graft-make-scale-data")
     scaledDocuments(spark, src, k)
       .repartition(GraftSession.cpus.toInt)
@@ -63,6 +81,19 @@ object MakeScaleData {
     scaledEmbeddings(spark, src, k)
       .repartition(GraftSession.cpus.toInt)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    if (args.contains("tpch")) {
+      scaledLineitem(spark, src, k)
+        .repartition(GraftSession.cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+      scaledOrders(spark, src, k)
+        .repartition(GraftSession.cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      // dimensions copy through unchanged
+      Seq("part", "supplier", "customer", "nation", "region").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+    }
     println(s"[make-scale-data] wrote ${k}x ${src} -> $dst")
     spark.stop()
   }

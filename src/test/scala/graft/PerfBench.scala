@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** In-JVM perf harness (TEST scope — never ships in the library jar;
+  * replaces the round-8 `tools/Scratch` throwaway). Sandbox wall-clock
+  * varies ~1.7× run-to-run, so regressions are only ever concluded
+  * from medians measured inside ONE JVM, ideally A/B-ing two variants
+  * back-to-back (the q28/q40 noise-ruling discipline, PERF.md §10).
+  *
+  * Usage:
+  *   sbt "Test/runMain graft.PerfBench <sfDir> <reps> <name,...>"
+  * where each name is a SparkEntry query key or one of the
+  * experimental variants below (e.g. `q79_r8_unstaged` — the round-8
+  * shipped shape that recomputed the prefix subtree per reference).
+  * Staging goes to a fresh temp dir; `stage_dedup` is timed first
+  * when any staged query is requested (pass `nostage` to skip).
+  */
+object PerfBench {
+
+  /** Round-8 q79 shape: prefix frame rebuilt per self-join side and
+    * the shingle sets re-derived for verify — kept here as the A/B
+    * baseline for the staged prefix/doc_sets path. */
+  private def q79r8(spark: org.apache.spark.sql.SparkSession,
+                    sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = operators.DedupOps.prefixThreshold
+    val bg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(functions.ShingleHashes.shingle_hashes(col("text"))).as("sh"))
+      .select(col("doc_id"), col("sh.s").as("s"))
+    val dfs = bg.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+    val prefix = bg.join(dfs, "s")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .where(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select("doc_id", "s", "rk", "n")
+    val larger = col("x.n") > col("y.n") ||
+      (col("x.n") === col("y.n") && col("x.doc_id") > col("y.doc_id"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.s") === col("y.s") && larger &&
+        col("y.rk") <= col("y.n") - ceil(lit(2 * t / (1 + t)) * col("y.n")) + 1)
+      .where(col("x.n") <= col("y.n") / t)
+      .where(least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk")) + 1 >=
+             lit(t / (1 + t)) * (col("x.n") + col("y.n")))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+              greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    val sets = bg.groupBy("doc_id")
+      .agg(collect_list("s").as("ss"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6))
+      .where(col("jaccard") >= t)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  private val variants: Map[String,
+      (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("q79_r8_unstaged" -> (q79r8 _))
+
+  /** Streaming-admission latency curve (verdict r8 #6): stage the
+    * bucketed corpus band posting table once, then measure the
+    * per-micro-batch probe at batch sizes ~1k and ~10k docs. The
+    * batch frames are localCheckpoint-ed first so the measurement is
+    * the signature + bucket-probe join, not the corpus re-scan that
+    * carves the batch out. */
+  private def streamAdmission(spark: org.apache.spark.sql.SparkSession,
+                              sfDir: String, reps: Int): Unit = {
+    val sig = operators.DedupOps.minhashSignatures(spark, sfDir)
+    val table = "perf_corpus_bands"
+    val t0 = System.nanoTime()
+    streaming.StreamingDedup.stageCorpusBands(spark, sig, table)
+    println(f"[perf] stage_corpus_bands: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val nDocs = Tables.documents(spark, sfDir).count()
+    Seq(1000L, 10000L).foreach { size =>
+      val m = math.max(1L, nDocs / size)
+      val batch = Tables.documents(spark, sfDir)
+        .where(pmod(col("doc_id"), lit(m)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(9000000000L))
+        .select("doc_id", "text")
+        .localCheckpoint(true)
+      val runs = (1 to reps).map { _ =>
+        val s0 = System.nanoTime()
+        val matches = streaming.StreamingDedup
+          .nearDupMatchesBucketed(batch, spark, table).count()
+        ((System.nanoTime() - s0) / 1e9, matches)
+      }
+      val med = runs.map(_._1).sorted.apply(runs.size / 2)
+      println(f"[perf] admission batch=${batch.count()} (target $size): " +
+        f"median $med%.3f s of $reps, matches=${runs.head._2} " +
+        runs.map(r => f"${r._1}%.3f").mkString("[", ", ", "]"))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(5)
+    val names = args.lift(2).map(_.split(",").toSeq)
+      .getOrElse(Seq("q40_asof_join"))
+    val noStage = args.contains("nostage")
+    val spark = GraftSession.local("graft-perfbench")
+    val stageDir =
+      java.nio.file.Files.createTempDirectory("graft_perf_stage").toString
+    operators.DedupOps.withStagingRoot(
+        if (noStage) None else Some(stageDir)) {
+      try SparkEntry.entry(spark).count() // warm-up: JIT + codegen
+      catch { case e: Throwable => println(s"[perf] warmup: $e") }
+      if (!noStage) {
+        val t0 = System.nanoTime()
+        operators.DedupOps.stageAll(spark, sfDir)
+        println(f"[perf] stage_dedup: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      names.filterNot(_ == "nostage").foreach {
+        case "stream_admission" => streamAdmission(spark, sfDir, reps)
+        case "q79_probe" =>
+          def tm(n: String)(b: => Long): Unit = {
+            val t0 = System.nanoTime(); val x = b
+            println(f"[perf] q79 $n: ${(System.nanoTime() - t0) / 1e9}%.3f s (n=$x)")
+          }
+          val D = operators.DedupOps
+          val t = D.prefixThreshold
+          tm("prefix read")(D.prefixTable(spark, sfDir, t).count())
+          val p = D.prefixTable(spark, sfDir, t)
+          val cand = D.candidatesFrom(p, t)
+          tm("cand")(cand.count())
+          tm("sets read")(D.docSetsTable(spark, sfDir).count())
+          tm("verify")(D.verifyPrefixPairs(cand,
+            D.docSetsTable(spark, sfDir), t).count())
+          tm("full")(SparkEntry.queries("q79_prefix_jaccard")(spark, sfDir).count())
+        case name =>
+        val fn = variants.getOrElse(name, SparkEntry.queries(name))
+        val runs = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val med = runs(runs.size / 2)
+        println(f"[perf] $name: median $med%.3f s of $reps " +
+          runs.map(r => f"$r%.3f").mkString("[", ", ", "]"))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -102,6 +102,39 @@ object PropertySpec extends Properties("graft") {
       Prop(got == exact) :| s"got $got expected $exact"
     }
 
+  property("sorted_intersect_count equals size(array_intersect) incl. duplicates") =
+    forAll(Gen.listOf(Gen.chooseNum(-20L, 20L)),
+           Gen.listOf(Gen.chooseNum(-20L, 20L))) { (a, b) =>
+      // tiny value domain forces heavy duplication and long shared runs
+      val df = Seq((a.sorted, b.sorted)).toDF("x", "y")
+      val r = df.select(
+          graft.functions.SortedIntersectCount
+            .sorted_intersect_count(col("x"), col("y")).as("fast"),
+          size(array_intersect(col("x"), col("y"))).as("ref"))
+        .head
+      Prop(r.getInt(0) == r.getInt(1)) :| s"fast ${r.getInt(0)} ref ${r.getInt(1)}"
+    }
+
+  property("two-level re-bucket stays exact on a single-bucket pile-up") =
+    // pathological for one-level bucketing: one outlier stretches
+    // [lo, hi] so that EVERY other value — all distinct — lands in a
+    // single bucket; levels=2 must re-bucket that pile and still
+    // select the exact rank (and agree with the one-level engine)
+    forAll(Gen.chooseNum(5, 60), Gen.chooseNum(0L, 1000L)) { (m, seed) =>
+      val pile = (0 until m).map(i => ("g0", 1e9 + i + (seed % 97) * 1e-3))
+      val df = (pile :+ (("g0", -1e9))).toDF("grp", "v")
+      val qs = Seq(0.1, 0.5, 0.9, 1.0)
+      def run(levels: Int) = RelationalOps.percentilesByBucketed(
+          df.repartition(3), "grp", "v", qs, buckets = 7, levels = levels)
+        .collect().map(r => r.getString(0) ->
+          qs.indices.map(i => r.getDouble(i + 1))).toMap
+      val sorted = (pile.map(_._2) :+ -1e9).sorted
+      val exact = Map("g0" ->
+        qs.map(q => sorted(math.ceil(q * sorted.length).toInt - 1)))
+      val l2 = run(2)
+      Prop(l2 == exact && run(1) == exact) :| s"got $l2 expected $exact"
+    }
+
   property("prefix-filter jaccard join equals driver-side brute force") =
     forAll(Gen.listOfN(10,
         Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
