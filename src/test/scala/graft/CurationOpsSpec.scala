@@ -340,6 +340,23 @@ class CurationOpsSpec extends SparkSpec {
 
   // ---------------------------------------------- q63 curation funnel
 
+  test("q63: staged funnel plans zero md5 keeper windows (one per corpus, not per report)") {
+    // with staging on, both the funnel's keeper column AND the
+    // keep-list's exact-drop derive from the staged keeper frame —
+    // the corpus-wide md5(text) window must appear in NO window
+    // operator of the report's plan (round-7/8 verdict item)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_funnel_stage").toString
+    DedupOps.withStagingRoot(Some(root)) {
+      val plan = CorpusOps.curationFunnel(spark, sf)
+        .queryExecution.executedPlan.toString
+      val windows = "(?m)^.*Window.*$".r.findAllIn(plan)
+        .filter(_.contains("md5")).toSeq
+      assert(windows.isEmpty,
+        s"funnel still computes an md5 keeper window:\n${windows.mkString("\n")}")
+    }
+  }
+
   test("q63: funnel is monotone and each stage agrees with its operator") {
     val f = CorpusOps.curationFunnel(spark, sf)
       .select("stage_idx", "stage", "n_docs")
