@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native Catalyst expression: DISTINCT-intersection size of two
-  * SORTED array<bigint> columns by two-pointer merge.
+  * SORTED array<bigint> (or array<int>) columns by two-pointer merge.
   *
   * The built-in `size(array_intersect(a, b))` builds a hash set of one
   * side and a result array per ROW — allocation plus hashing per
@@ -36,26 +36,33 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count requires two ARRAY<BIGINT> inputs, got " +
-          s"${l.catalogString} and ${r.catalogString}")
+        s"sorted_intersect_count requires two ARRAY<BIGINT> or two " +
+          s"ARRAY<INT> inputs, got ${l.catalogString} and ${r.catalogString}")
     }
+
+  private def isInt: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == IntegerType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    def at(arr: ArrayData, i: Int): Long =
+      if (isInt) arr.getInt(i).toLong else arr.getLong(i)
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < nx && j < ny) {
       if (x.isNullAt(i) || y.isNullAt(j)) return null
-      val xv = x.getLong(i); val yv = y.getLong(j)
+      val xv = at(x, i); val yv = at(y, j)
       if (xv < yv) i += 1
       else if (xv > yv) j += 1
       else {
         c += 1
         val v = xv
-        while (i < nx && !x.isNullAt(i) && x.getLong(i) == v) i += 1
-        while (j < ny && !y.isNullAt(j) && y.getLong(j) == v) j += 1
+        while (i < nx && !x.isNullAt(i) && at(x, i) == v) i += 1
+        while (j < ny && !y.isNullAt(j) && at(y, j) == v) j += 1
       }
     }
     c
@@ -63,6 +70,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val get = if (isInt) "getInt" else "getLong"
+      val elem = if (isInt) "int" else "long"
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val nx = ctx.freshName("nx")
@@ -76,14 +85,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $nx && $j < $ny) {
          |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
-         |  long $xv = $a.getLong($i);
-         |  long $yv = $b.getLong($j);
+         |  $elem $xv = $a.$get($i);
+         |  $elem $yv = $b.$get($j);
          |  if ($xv < $yv) { $i++; }
          |  else if ($xv > $yv) { $j++; }
          |  else {
          |    $c++;
-         |    while ($i < $nx && !$a.isNullAt($i) && $a.getLong($i) == $xv) $i++;
-         |    while ($j < $ny && !$b.isNullAt($j) && $b.getLong($j) == $yv) $j++;
+         |    while ($i < $nx && !$a.isNullAt($i) && $a.$get($i) == $xv) $i++;
+         |    while ($j < $ny && !$b.isNullAt($j) && $b.$get($j) == $yv) $j++;
          |  }
          |}
          |if (!${ev.isNull}) ${ev.value} = $c;

@@ -792,8 +792,11 @@ object DedupOps {
     * doc-level set table are STAGED artifacts (`prefix_t*`,
     * `doc_sets`) — the self-join's two sides and the verify's two
     * sides each scan parquet instead of recomputing the df-aggregate
-    * + per-doc window subtree per reference (that recomputation was
-    * the whole cost: 4.9 s unstaged vs ~1 s staged at sf0.1).
+    * + per-doc window subtree per reference (4.9 s shipped in r8 vs
+    * 1.24 s staged+hash-bound, in-JVM median at sf0.1 — PERF.md §11;
+    * staging alone was NOT the whole story, the verify stage's hash
+    * upper bound below carries most of the win on candidate-heavy
+    * corpora).
     * Prefix length is (1-t)n+1, so the regime matters: at the LSH
     * threshold 0.5 half of every document is prefix and the self-join
     * explodes (measured 33 s at sf0.1 vs 4 s for LSH+verify) —
@@ -827,7 +830,7 @@ object DedupOps {
     * than materializing it; see the staging notes above). */
   def prefixJaccardPairsOf(docs: DataFrame,
                            t: Double = prefixThreshold): DataFrame = {
-    val bg = shinglesOf(docs).select("doc_id", "s", "h60")
+    val bg = shinglesOf(docs).select("doc_id", "s", "h", "h60")
     val prefix = prefixFrom(bg, t)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try verifyPrefixPairs(
@@ -876,23 +879,28 @@ object DedupOps {
     * parquet scan, not a corpus-wide collect_list aggregate. */
   private[graft] def docSetsTable(spark: SparkSession, sfDir: String): DataFrame = {
     val compute =
-      setsFrom(sharedShingles(spark, sfDir).select("doc_id", "s", "h60"))
+      setsFrom(sharedShingles(spark, sfDir).select("doc_id", "s", "h"))
     stagingRoot match {
       case None => compute
       case _    => staged(spark, sfDir, "doc_sets")(compute)
     }
   }
 
-  /** Per-doc set table: sorted h60 array (`hs`, the cheap long-compare
-    * intersect input), its DISTINCT size (`nh` — shy of `n` only when
-    * two of the doc's shingles collide on h60, the slack term of the
-    * verify bound), sorted shingle-string array (`ss`, the exact
-    * confirm input — column-pruned away unless a pair survives the
-    * hash stage), and the set size. */
+  /** Per-doc set table: sorted 32-bit-hash array (`hs` as array<int> —
+    * int, not long, because the verify stage shuffles these arrays
+    * attached to every candidate pair, and at a candidate-heavy 100×
+    * the array bytes ARE the shuffle; h - 2^31 maps the unsigned
+    * 32-bit hash range onto int exactly — bijective, order-preserving,
+    * ANSI-cast-safe), its DISTINCT size (`nh` — shy of `n` only
+    * when two of the doc's shingles collide on the hash, the slack
+    * term of the verify bound), sorted shingle-string array (`ss`,
+    * the exact confirm input — column-pruned away unless a pair
+    * survives the hash stage), and the set size. */
   private def setsFrom(bg: DataFrame): DataFrame =
-    bg.groupBy("doc_id")
-      .agg(sort_array(collect_list("h60")).as("hs"),
-        size(array_distinct(collect_list("h60"))).as("nh"),
+    bg.withColumn("__h32", (col("h") - lit(2147483648L)).cast("int"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list("__h32")).as("hs"),
+        size(array_distinct(collect_list("__h32"))).as("nh"),
         sort_array(collect_list("s")).as("ss"), count(lit(1)).as("n"))
 
   /** PPJoin candidate generation over a prefix frame. Asymmetry:
@@ -900,10 +908,20 @@ object DedupOps {
     * probe prefix, the smaller side y only needs the index prefix
     * n - ceil(2t/(1+t)*n) + 1 (its worst-case qualifying overlap is
     * against an equal-size partner) — the shorter list on one side
-    * multiplies out of the bucket sizes. The position filter bounds
-    * overlap by min(na-ra, nb-rb) + 1 per shared prefix element; the
-    * FIRST shared element of a qualifying pair always passes, so
-    * recall stays exact. */
+    * multiplies out of the bucket sizes.
+    *
+    * The position filter is the AGGREGATED PPJoin bound: shared
+    * elements sort identically in both docs (one global order), so
+    * every shared element either joins prefix-to-prefix or lies
+    * strictly after the LAST such join element in BOTH documents;
+    * hence overlap <= k + min(na - ra_k, nb - rb_k) for k join rows
+    * with last positions (ra_k, rb_k). Per pair this is provably at
+    * least as tight as the classic per-element
+    * min(na-ra, nb-rb) + 1 test (positions are strictly increasing,
+    * so the first element's slack absorbs k-1), and the pair grouping
+    * replaces the dedup the per-element form needed anyway. A
+    * qualifying pair always keeps its first shared element in the
+    * join, so recall stays exact. */
   private[graft] def candidatesFrom(prefix: DataFrame, t: Double): DataFrame = {
     val tL = loosened(t)
     val larger = col("x.n") > col("y.n") ||
@@ -913,11 +931,14 @@ object DedupOps {
         col("y.rk") <=
           col("y.n") - ceil(lit(2 * tL / (1 + tL)) * col("y.n")) + 1)
       .where(col("x.n") <= col("y.n") / tL)
-      .where(least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk")) + 1 >=
-             lit(tL / (1 + tL)) * (col("x.n") + col("y.n")))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-              greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-      .distinct()
+      .groupBy(col("x.doc_id").as("xa"), col("y.doc_id").as("ya"),
+        col("x.n").as("nx"), col("y.n").as("ny"))
+      .agg(count(lit(1)).as("k"),
+        max(col("x.rk")).as("ra"), max(col("y.rk")).as("rb"))
+      .where(col("k") + least(col("nx") - col("ra"), col("ny") - col("rb")) >=
+             lit(tL / (1 + tL)) * (col("nx") + col("ny")))
+      .select(least(col("xa"), col("ya")).as("doc_a"),
+              greatest(col("xa"), col("ya")).as("doc_b"))
   }
 
   /** Exact verify by per-doc shingle SETS (docs are rows, not

@@ -63,7 +63,13 @@ object PerfBench {
 
   private val variants: Map[String,
       (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("q79_r8_unstaged" -> (q79r8 _))
+    Map("q79_r8_unstaged" -> (q79r8 _),
+      // the LOW-threshold regime (t=0.5): prefix = half of every doc,
+      // the self-join explodes — measured to re-pin the division of
+      // labor (LSH for 0.5, prefix join for 0.8+) at scale
+      "q79_t05" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        operators.DedupOps.prefixJaccardPairsOf(
+          Tables.documents(s, dir).select("doc_id", "text"), 0.5)))
 
   /** Streaming-admission latency curve (verdict r8 #6): stage the
     * bucketed corpus band posting table once, then measure the

@@ -110,9 +110,13 @@ object PropertySpec extends Properties("graft") {
       val r = df.select(
           graft.functions.SortedIntersectCount
             .sorted_intersect_count(col("x"), col("y")).as("fast"),
+          graft.functions.SortedIntersectCount.sorted_intersect_count(
+            col("x").cast("array<int>"), col("y").cast("array<int>"))
+            .as("fastInt"),
           size(array_intersect(col("x"), col("y"))).as("ref"))
         .head
-      Prop(r.getInt(0) == r.getInt(1)) :| s"fast ${r.getInt(0)} ref ${r.getInt(1)}"
+      Prop(r.getInt(0) == r.getInt(2) && r.getInt(1) == r.getInt(2)) :|
+        s"fast ${r.getInt(0)} int ${r.getInt(1)} ref ${r.getInt(2)}"
     }
 
   property("two-level re-bucket stays exact on a single-bucket pile-up") =
