@@ -443,6 +443,34 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("percentile engines agree on data WITH null values (nulls excluded from ranks)") {
+    // r8 ADVICE: the two-phase engine used to count nulls in __n while
+    // never selecting them — all three engines must now ignore nulls
+    // (percentile_disc semantics) and agree with the exact sort of the
+    // non-null values
+    import spark.implicits._
+    val rows: Seq[(String, Option[Long])] =
+      (1L to 50L).map(v => ("g", Some(v))) ++
+        Seq.fill(17)(("g", None)) ++
+        (1L to 7L).map(v => ("h", Some(v * 10))) :+ (("h", None))
+    val df = rows.toDF("grp", "v").repartition(5)
+    val qs = Seq(0.25, 0.5, 1.0)
+    val R = graft.operators.RelationalOps
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        qs.indices.map(i => r.getLong(i + 1))).toMap
+    val exact = rows.groupBy(_._1).map { case (g, vs) =>
+      val v = vs.flatMap(_._2).sorted
+      g -> qs.map(q => v(math.ceil(q * v.length).toInt - 1))
+    }
+    assert(toMap(R.percentilesBy(df, "grp", "v", qs)) == exact)
+    assert(toMap(R.percentilesByWindowed(df, "grp", "v", qs)) == exact)
+    val bucketed = R.percentilesByBucketed(df, "grp", "v", qs, buckets = 7)
+      .collect().map(r => r.getString(0) ->
+        qs.indices.map(i => r.getDouble(i + 1).toLong)).toMap
+    assert(bucketed == exact)
+  }
+
   test("q64: two-phase rank selection survives a skewed stratum and matches the windowed variant") {
     // one stratum holds 90% of the rows (the shape that serializes the
     // naive per-group window into a single task at 100 TB), values
