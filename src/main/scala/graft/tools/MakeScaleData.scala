@@ -70,6 +70,23 @@ object MakeScaleData {
   def scaledOrders(spark: SparkSession, src: String, k: Int): DataFrame =
     replicated(Tables.orders(spark, src), "o_orderkey", k)
 
+  /** Events replicate with DISJOINT user populations per replica
+    * (event_id and user_id remapped, timestamps untouched): sessions,
+    * windows, and per-user state machines keep their per-user density
+    * while total volume scales linearly — the same day, K× the
+    * traffic. The raw read keeps `ts` as int64 nanos (the loader
+    * normalizes either representation identically). */
+  def scaledEvents(spark: SparkSession, src: String, k: Int): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    (0 until k).map { r =>
+      if (r == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(r * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(r * 10000000L))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: MakeScaleData <srcSfDir> <dstDir> <k> [tpch]")
@@ -88,6 +105,9 @@ object MakeScaleData {
       scaledOrders(spark, src, k)
         .repartition(GraftSession.cpus.toInt)
         .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      scaledEvents(spark, src, k)
+        .repartition(GraftSession.cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
       // dimensions copy through unchanged
       Seq("part", "supplier", "customer", "nation", "region").foreach { t =>
         spark.read.parquet(s"$src/$t.parquet")
