@@ -144,6 +144,7 @@ object DedupOps {
             prefixTable(spark, sfDir, prefixThreshold): Unit
             docSetsTable(spark, sfDir): Unit
           }) ++
+          Seq(chain("contain") { containCandTable(spark, sfDir): Unit }) ++
           Seq(chain("keeper") { keeperTable(spark, sfDir): Unit }) ++
           (if (ivf) Seq(chain("ivf") { EmbeddingOps.stageIvf(spark, sfDir): Unit })
            else Nil)
@@ -701,7 +702,9 @@ object DedupOps {
     * the bounded anchor self-join, then the same candidates-only
     * intersection join the Jaccard verifier uses. */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame =
-    containmentFrom(sharedShingles(spark, sfDir))
+    containmentVerify(containCandTable(spark, sfDir),
+        docSetsTable(spark, sfDir))
+      .orderBy("doc_a", "doc_b")
 
   /** Containment pairs over an arbitrary `(doc_id, text)` frame — the
     * library entry for corpora not staged under a testdata dir. */
@@ -709,7 +712,24 @@ object DedupOps {
     containmentFrom(shinglesOf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  private def containmentFrom(bg: DataFrame): DataFrame = {
+  private def containmentFrom(bg: DataFrame): DataFrame =
+    containmentVerify(containmentCandidates(bg), setsFrom(bg))
+      .orderBy("doc_a", "doc_b")
+
+  /** Anchor-probe candidate pairs (bounded: <= docs x anchorK x
+    * anchorMaxDf rows by construction). STAGED (`contain_cand`) next
+    * to the LSH candidate table — the df aggregate + per-doc anchor
+    * window is computed once per corpus, and the census query reads a
+    * bounded pair list. */
+  private def containCandTable(spark: SparkSession, sfDir: String): DataFrame = {
+    def compute = containmentCandidates(sharedShingles(spark, sfDir))
+    stagingRoot match {
+      case None => compute
+      case _    => staged(spark, sfDir, "contain_cand")(compute)
+    }
+  }
+
+  private def containmentCandidates(bg: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val df = bg.groupBy("s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
@@ -723,17 +743,44 @@ object DedupOps {
     // (its own unique shingles are rarer still), but its posting-list
     // entry is always there. Fan-out stays bounded: an anchor has
     // df <= anchorMaxDf, so its posting list has <= anchorMaxDf docs.
-    val cand = anchors.as("x").join(bg.select("doc_id", "s").as("y"),
+    anchors.as("x").join(bg.select("doc_id", "s").as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
               greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    overlapStats(cand, bg, "doc_a", "doc_b")
+  }
+
+  /** Containment verify, same two-stage shape as [[verifyPrefixPairs]]
+    * (hash upper bound on the sorted int arrays, exact string confirm
+    * on survivors): c_true <= (i_hash + collision slack) / min(na, nb),
+    * so pruning at `containThreshold` minus the rounding half-ulp can
+    * only drop pairs the exact rounded compare drops too. Replaces the
+    * exploded candidates x shingles overlap join, whose shuffle
+    * carried one row per SHARED SHINGLE per pair — at 100× that was
+    * the bulk of the census cost. */
+  private def containmentVerify(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val hashPass = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("n").as("na"), col("nh").as("nha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("n").as("nb"), col("nh").as("nhb")), "doc_b")
+      .withColumn("iu",
+        graft.functions.SortedIntersectCount
+          .sorted_intersect_count(col("ha"), col("hb")) +
+        least(col("na") - col("nha"), col("nb") - col("nhb")))
+      .where(col("iu") * lit(1.0) / least(col("na"), col("nb")) >=
+             containThreshold - 5e-7)
+      .select("doc_a", "doc_b")
+    hashPass
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("containment",
         round(col("i") * lit(1.0) / least(col("na"), col("nb")), 6))
       .where(col("containment") >= containThreshold)
       .select("doc_a", "doc_b", "na", "nb", "i", "containment")
-      .orderBy("doc_a", "doc_b")
   }
 
   val containmentPairsSql: String =

@@ -275,6 +275,22 @@ class DedupAnnSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"staged candidates must not recompute the guard:\n$plan")
   }
 
+  test("staged prefix read plan is a pure scan — no df-aggregate, no window") {
+    // r8 verdict item 1: the q79 self-join must read the staged prefix
+    // frame per side, never re-derive the df-aggregate + per-doc rank
+    // window subtree
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_prefix_stage").toString
+    DedupOps.withStagingRoot(Some(root)) {
+      val plan = DedupOps.prefixTable(spark, sf, DedupOps.prefixThreshold)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"staged prefix must not recompute the rank window:\n$plan")
+      assert(!plan.contains("Join"),
+        s"staged prefix must not recompute the df attach join:\n$plan")
+    }
+  }
+
   test("near-dup collapse window shuffles an 8-byte fingerprint, not the raw vector") {
     val emb = Tables.embeddings(spark, sf)
     val plan = EmbeddingOps.nearDupPairsOf(emb).queryExecution.executedPlan.toString
