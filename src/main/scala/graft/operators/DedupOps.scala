@@ -417,35 +417,27 @@ object DedupOps {
       case _ => shingleTable(spark, sfDir)
     }
 
-  /** Exact shingle-overlap statistics for candidate pairs: joins each
-    * (aCol, bCol) pair against the shingle table on both sides and
-    * returns the pair plus `i` (intersection size), `na`, `nb` (set
-    * sizes). The shared second stage of every verification operator
-    * (Jaccard, containment, incremental admission) — candidates-only,
-    * never corpus x corpus. */
-  private def overlapStats(cand: DataFrame, bg: DataFrame,
-                           aCol: String, bCol: String): DataFrame = {
-    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    cand
-      .join(bg.as("__p"), col("__p.doc_id") === col(aCol))
-      .join(bg.as("__q"), col("__q.doc_id") === col(bCol) && col("__q.s") === col("__p.s"))
-      .groupBy(aCol, bCol)
-      .agg(count(lit(1)).as("i"))
-      .join(sizes.withColumnRenamed("doc_id", aCol).withColumnRenamed("n", "na"), aCol)
-      .join(sizes.withColumnRenamed("doc_id", bCol).withColumnRenamed("n", "nb"), bCol)
-  }
-
-  /** Exact Jaccard from overlap statistics, rounded for the oracle. */
+  /** Exact Jaccard from overlap statistics, rounded for the oracle.
+    * (Every verification operator — Jaccard, containment, incremental
+    * admission — now routes through the two-stage set-table verify,
+    * [[verifyPrefixPairs]]/[[containmentVerify]]; the exploded
+    * candidates x shingles overlap join this column once paired with
+    * re-shuffled the full shingle table per consumer and is gone.) */
   private def jaccardCol: Column =
     round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6)
 
+  /** LSH-candidate exact verify, via the same two-stage hash-bound
+    * shape as q79 ([[verifyPrefixPairs]]): the exploded
+    * candidates x shingles overlap join it replaces re-shuffled the
+    * full shingle table per verified-table build — the dominant
+    * staging chain at every measured scale. Output is unchanged
+    * (exact rounded Jaccard, zero false negatives by the collision-
+    * slack bound). */
   private def computeJaccardVerify(spark: SparkSession, sfDir: String,
                                    p: MinHashParams): DataFrame =
-    overlapStats(lshCandidates(spark, sfDir, p).select("doc_a", "doc_b"),
-        sharedShingles(spark, sfDir), "doc_a", "doc_b")
-      .withColumn("jaccard", jaccardCol)
-      .where(col("jaccard") >= jaccardThreshold)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyPrefixPairs(
+      lshCandidates(spark, sfDir, p).select("doc_a", "doc_b"),
+      docSetsTable(spark, sfDir), jaccardThreshold)
 
   /** Verified near-dup pair table, staged like the candidate table:
     * the exact-Jaccard verify join is the last expensive dedup stage,
@@ -1082,10 +1074,11 @@ object DedupOps {
       .join(corpusBands.as("cb"), col("nb.bk") === col("cb.bk"))
       .select(col("nb.doc_id").as("new_id"), col("cb.doc_id").as("old_id"))
       .distinct()
-    val bg = sharedShingles(spark, sfDir)
-    val near = overlapStats(cand, bg, "new_id", "old_id")
-      .withColumn("jaccard", jaccardCol)
-      .where(col("jaccard") >= jaccardThreshold)
+    val near = verifyPrefixPairs(
+        cand.select(col("new_id").as("doc_a"), col("old_id").as("doc_b")),
+        docSetsTable(spark, sfDir), jaccardThreshold)
+      .select(col("doc_a").as("new_id"), col("doc_b").as("old_id"),
+        col("jaccard"))
       .groupBy("new_id").agg(
         max(struct(col("jaccard"), (-col("old_id")).as("negId"))).as("best"))
       .select(col("new_id"),

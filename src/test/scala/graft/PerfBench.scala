@@ -61,9 +61,48 @@ object PerfBench {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Round-8 LSH-verify shape: exploded candidates x shingles overlap
+    * join (re-shuffles the full shingle table per verified-table
+    * build) — the A/B baseline for routing the staging chains and q61
+    * through the two-stage hash-bound verify. */
+  private def lshVerifyR8(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String): org.apache.spark.sql.DataFrame = {
+    val D = operators.DedupOps
+    val cand = D.lshCandidates(spark, sfDir, D.defaultParams)
+      .select("doc_a", "doc_b")
+    val bg = D.sharedShingles(spark, sfDir)
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(bg.as("__p"), col("__p.doc_id") === col("doc_a"))
+      .join(bg.as("__q"), col("__q.doc_id") === col("doc_b") &&
+        col("__q.s") === col("__p.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6))
+      .where(col("jaccard") >= D.jaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** The round-9 replacement measured against [[lshVerifyR8]]: same
+    * staged candidates, verify via sorted-int64 hash upper bound +
+    * exact confirm over the staged doc_sets table. */
+  private def lshVerifyR9(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String): org.apache.spark.sql.DataFrame = {
+    val D = operators.DedupOps
+    D.verifyPrefixPairs(
+      D.lshCandidates(spark, sfDir, D.defaultParams).select("doc_a", "doc_b"),
+      D.docSetsTable(spark, sfDir), D.jaccardThreshold)
+  }
+
   private val variants: Map[String,
       (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map("q79_r8_unstaged" -> (q79r8 _),
+      "lsh_verify_r8" -> (lshVerifyR8 _),
+      "lsh_verify_r9" -> (lshVerifyR9 _),
       // the LOW-threshold regime (t=0.5): prefix = half of every doc,
       // the self-join explodes — measured to re-pin the division of
       // labor (LSH for 0.5, prefix join for 0.8+) at scale
