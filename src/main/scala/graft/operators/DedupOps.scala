@@ -987,14 +987,17 @@ object DedupOps {
     * the exploded overlapStats join.
     *
     * Two stages, both with zero false negatives:
-    *   1. HASH upper bound — intersect the sorted h60 arrays (long
-    *      compares, no string hashing). h60 is a function of the
-    *      shingle, so every shared shingle lands in the hash
-    *      intersection; the only way i_hash undercounts i_true is a
-    *      WITHIN-DOC h60 collision, and each such collision also
-    *      shrinks the doc's distinct-hash count, so
+    *   1. HASH upper bound — distinct-intersect the sorted 32-bit
+    *      hash arrays (int compares, no string hashing). The hash is
+    *      a function of the shingle, so every shared shingle lands in
+    *      the hash intersection; the only way i_hash undercounts
+    *      i_true is a WITHIN-DOC collision, and each such collision
+    *      also shrinks the doc's distinct-hash count, so
     *      i_true <= i_hash + min(na - nha, nb - nhb) — a provable
-    *      upper bound (slack exactly 0 on a collision-free corpus).
+    *      upper bound for ANY hash function (slack exactly 0 on a
+    *      collision-free corpus; `VerifyBoundSpec` pins the bound
+    *      under forced within-doc, cross-doc, and constant-hash
+    *      collisions against brute force).
     *      Filtering that bound against t (loosened by the rounding
     *      half-ulp) can only drop pairs the exact compare would drop
     *      too. This is where a candidate-heavy corpus (small
