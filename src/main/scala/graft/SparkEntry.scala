@@ -180,6 +180,9 @@ object SparkEntry {
     // deterministic complement to probabilistic LSH; oracle is the
     // TRUE all-pairs answer
     "q79_prefix_jaccard" -> DedupOps.prefixJaccardPairs _,
+    // corpus: cross-doc repeated-span census (sliding window, native
+    // one-pass span hashing; exact via string re-group of survivors)
+    "q80_repeated_spans" -> CorpusOps.repeatedSpans _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -264,5 +267,6 @@ object SparkEntry {
     "q77_dominant_shippers" -> RelationalOps.dominantShippersSql,
     "q78_top_revenue_supplier" -> RelationalOps.topRevenueSupplierSql,
     "q79_prefix_jaccard" -> DedupOps.prefixJaccardPairsSql,
+    "q80_repeated_spans" -> CorpusOps.repeatedSpansSql,
   )
 }

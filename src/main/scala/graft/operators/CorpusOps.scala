@@ -354,6 +354,79 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------- cross-doc repeated spans
+
+  private val spanLen = 8  // tokens per sliding window
+
+  /** q80: cross-document repeated-span census — the memorization-risk
+    * report (Lee et al.'s "Deduplicating Training Data" substring-dup
+    * concern, at span granularity): every `spanLen`-token SLIDING
+    * window that occurs in two or more distinct documents, with its
+    * document frequency, total occurrence count, and first containing
+    * doc. Complements q55's boilerplate census: chunking only catches
+    * duplication aligned to chunk boundaries, the sliding window
+    * catches a copied sentence at ANY offset.
+    *
+    * Scale shape — two phases, exact by construction:
+    *   1. HEAVY phase over 8-byte keys only: the native [[
+    *      graft.functions.SpanHashes]] expression emits every window's
+    *      61-bit polynomial hash in ONE pass over the text (O(chars),
+    *      independent of spanLen — no window string is ever
+    *      assembled), and a hash-agg keeps hashes seen in >= 2 docs.
+    *      The corpus-wide shuffle carries (hash, doc_id) pairs, never
+    *      span text.
+    *   2. EXACT confirm over affected docs only: docs holding a
+    *      candidate hash re-derive their span STRINGS (narrow explode,
+    *      recompute-over-materialize as everywhere else), join to the
+    *      candidate hashes, and re-group BY STRING — so a 61-bit hash
+    *      collision can only add phase-2 work (a candidate the string
+    *      group-by splits back apart), never a wrong row. The final
+    *      `ndocs >= 2` re-check on string identity makes the output
+    *      hash-independent.
+    * Both candidate tables are corpus-growing, so the joins are
+    * hint-free: AQE broadcasts them while they fit (they do at every
+    * test SF — repeated spans are by definition the rare tail). */
+  def repeatedSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val hashed = docs.select(col("doc_id"),
+      explode(graft.functions.SpanHashes.span_hashes(col("text"), spanLen))
+        .as("sh"))
+    val candHashes = hashed.groupBy("sh")
+      .agg(countDistinct("doc_id").as("df"))
+      .where(col("df") >= 2).select("sh")
+    val hitDocs = hashed.join(candHashes, "sh").select("doc_id").distinct()
+    val spans = docs.join(hitDocs, "doc_id")
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= spanLen)
+      .selectExpr("doc_id",
+        s"""explode(transform(sequence(1, size(toks) - ${spanLen - 1}),
+           |  i -> concat_ws(' ', slice(toks, i, $spanLen)))) AS span"""
+          .stripMargin)
+    spans
+      .withColumn("sh", graft.functions.SpanHashes.span_hash(col("span")))
+      .join(candHashes, "sh")
+      .groupBy("span")
+      .agg(countDistinct("doc_id").as("ndocs"), count(lit(1)).as("occ"),
+        min("doc_id").as("first_doc"))
+      .where(col("ndocs") >= 2)
+      .select("span", "ndocs", "occ", "first_doc")
+      .orderBy("span")
+  }
+
+  val repeatedSpansSql: String = {
+    val k = spanLen
+    s"""WITH sp AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(T) < $k THEN []::VARCHAR[]
+       |    ELSE list_transform(generate_series(1, len(T) - ${k - 1}),
+       |           i -> array_to_string(T[i:i + ${k - 1}], ' ')) END) AS span
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS T
+       |        FROM documents) x)
+       |SELECT span, count(DISTINCT doc_id) AS ndocs, count(*) AS occ,
+       |  min(doc_id) AS first_doc
+       |FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY span""".stripMargin
+  }
+
   val boilerplateChunksSql: String = {
     val toks = "string_split(text, ' ')"
     // chunk i = tokens [i*L+1 .. min((i+1)*L, n)] joined by ' '

@@ -283,4 +283,38 @@ class CorpusOpsSpec extends SparkSpec {
     // discriminate, not vacuously emit all-zeros
     assert(got.exists(_.getInt(4) == 1) && got.exists(_.getInt(4) == 0))
   }
+
+  test("q80: repeated-span census matches a driver-side brute force") {
+    val k = 8
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val occ = scala.collection.mutable.Map.empty[String, List[Long]]
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      (0 to toks.length - k).foreach { i =>
+        val span = toks.slice(i, i + k).mkString(" ")
+        occ(span) = id :: occ.getOrElse(span, Nil)
+      }
+    }
+    val expected = occ.collect {
+      case (span, ids) if ids.distinct.size >= 2 =>
+        span -> ((ids.distinct.size.toLong, ids.size.toLong, ids.min))
+    }.toMap
+    assert(expected.nonEmpty) // the near-dup fixture must share spans
+    val df = CorpusOps.repeatedSpans(spark, sf)
+    val got = df.collect()
+    assert(got.length == expected.size)
+    got.foreach { case org.apache.spark.sql.Row(
+        span: String, ndocs: Long, o: Long, first: Long) =>
+      assert(expected(span) == ((ndocs, o, first)), s"span '$span'")
+    }
+    // the corpus-wide heavy phase must hash through the native
+    // one-pass expression (4.7x over concat_ws assembly at 100x,
+    // PERF.md §17) — span STRINGS are only ever assembled for docs
+    // that already hold a candidate hash
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("span_hashes"),
+      s"phase 1 must use the native window-hash expression:\n$plan")
+  }
 }

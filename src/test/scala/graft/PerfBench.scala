@@ -98,11 +98,39 @@ object PerfBench {
       D.docSetsTable(spark, sfDir), D.jaccardThreshold)
   }
 
+  /** q80 heavy phase, built-in shape: every window string assembled
+    * via concat_ws before hashing — the A/B baseline for the native
+    * one-pass SpanHashes expression. Output (candidate hash count) is
+    * equivalent; only the hash function differs (xxhash64 vs M61
+    * poly), which doesn't change the work shape. */
+  private def q80Phase1Builtin(spark: org.apache.spark.sql.SparkSession,
+                               sfDir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 8)
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks) - 7),
+          |  i -> xxhash64(concat_ws(' ', slice(toks, i, 8))))) AS sh"""
+          .stripMargin)
+      .groupBy("sh").agg(countDistinct("doc_id").as("df"))
+      .where(col("df") >= 2).select("sh")
+
+  /** q80 heavy phase, shipped shape: native one-pass window hashes. */
+  private def q80Phase1Native(spark: org.apache.spark.sql.SparkSession,
+                              sfDir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(functions.SpanHashes.span_hashes(col("text"), 8)).as("sh"))
+      .groupBy("sh").agg(countDistinct("doc_id").as("df"))
+      .where(col("df") >= 2).select("sh")
+
   private val variants: Map[String,
       (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map("q79_r8_unstaged" -> (q79r8 _),
       "lsh_verify_r8" -> (lshVerifyR8 _),
       "lsh_verify_r9" -> (lshVerifyR9 _),
+      "q80_phase1_builtin" -> (q80Phase1Builtin _),
+      "q80_phase1_native" -> (q80Phase1Native _),
       // the LOW-threshold regime (t=0.5): prefix = half of every doc,
       // the self-join explodes — measured to re-pin the division of
       // labor (LSH for 0.5, prefix join for 0.8+) at scale
