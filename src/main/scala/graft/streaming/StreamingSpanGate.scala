@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SpanHashes
+
+/** In-flight repeated-span gate: each streaming document is checked for
+  * k-token spans ALREADY PRESENT in the settled corpus — the streaming
+  * face of q80's census, for the two admission policies a training
+  * pipeline runs continuously:
+  *   - contamination: an incoming doc that reproduces a span of the
+  *     eval/benchmark corpus must be quarantined before training;
+  *   - substring-dup admission: an incoming doc that is mostly made of
+  *     spans the corpus already has adds no new signal (Lee et al.'s
+  *     substring-duplication argument at span granularity).
+  *
+  * Scale shape mirrors [[StreamingDedup]]'s bucketed posting layout:
+  * the corpus's distinct span hashes are written ONCE, bucketed and
+  * sorted on the hash ([[stageCorpusSpans]]); each micro-batch emits
+  * its own span hashes NARROWLY (the native one-pass
+  * [[graft.functions.SpanHashes]] expression — no shuffle, no window
+  * state, legal in any streaming projection), shuffles only itself
+  * into the corpus bucketing, and the corpus joins in place. Per-doc
+  * aggregation happens on the BATCH side only (micro-batch-sized
+  * state, no watermark needed beyond the update-mode sink's own).
+  *
+  * Exactness: matches are at 61-bit-hash level. Unlike batch q80 the
+  * gate does NOT re-verify strings — a false flag needs a cross-corpus
+  * M61 collision (~2^-61 per span pair; at 10^12 corpus spans the
+  * expected false-flag count is still ~10^-5 per incoming doc), which
+  * is the same accept-the-hash contract as the Bloom pre-screen in
+  * [[StreamingCuration]] but with a quantified, collision-only error
+  * (a Bloom false positive is by design; an M61 collision is an
+  * accident). Routing flagged docs through the batch confirm
+  * (`CorpusOps.repeatedSpans` semantics) stays available downstream. */
+object StreamingSpanGate {
+
+  val defaultSpanLen = 8
+
+  /** Per-doc span census columns, narrowly: `__sh` (array of window
+    * hashes) and `n_spans`. */
+  private def withSpans(docs: DataFrame, k: Int): DataFrame =
+    docs.withColumn("__shs", SpanHashes.span_hashes(col("text"), k))
+      .withColumn("n_spans", size(col("__shs")))
+
+  /** ONE-TIME corpus layout: DISTINCT span hashes of the corpus (or of
+    * an eval suite, for decontamination), bucketed+sorted on the hash.
+    * The posting row is 8 bytes — at 10^11 corpus spans the table is
+    * sub-TB and every probe joins it in place, bucket-aligned, with
+    * zero corpus-side exchange per micro-batch. */
+  def stageCorpusSpans(spark: SparkSession, corpus: DataFrame,
+                       table: String, buckets: Int = 64,
+                       k: Int = defaultSpanLen): Unit =
+    corpus.select(explode(SpanHashes.span_hashes(col("text"), k)).as("csh"))
+      .distinct()
+      .write.mode("overwrite")
+      .bucketBy(buckets, "csh").sortBy("csh")
+      .format("parquet").saveAsTable(table)
+
+  /** Span gate: for each document, count how many of its `n_spans`
+    * k-token windows hash-match a corpus span (`matched_spans` counts
+    * DISTINCT matched windows) and emit the per-mille contamination
+    * `matched_pm`. Docs under k tokens have n_spans = 0 and pass with
+    * zero matches (nothing to reproduce).
+    *
+    * On a stream, run this per micro-batch via `foreachBatch` (the
+    * spec's shape): a document's windows all live in its own row, so
+    * the per-doc aggregate is micro-batch-local by construction —
+    * running it as a global stream aggregation instead would pin one
+    * state row per doc_id FOREVER (unbounded keys, no watermark can
+    * expire them). Inside foreachBatch each batch plans the identical
+    * batch join below: batch side shuffles into the corpus bucketing,
+    * corpus joins in place. */
+  def spanMatches(stream: DataFrame, spark: SparkSession, table: String,
+                  k: Int = defaultSpanLen): DataFrame = {
+    val probes = withSpans(stream, k)
+      .select(col("doc_id"), col("n_spans"),
+        explode_outer(array_distinct(col("__shs"))).as("sh"))
+    probes
+      .join(spark.table(table), col("sh") === col("csh"), "left")
+      .groupBy("doc_id", "n_spans")
+      .agg(count(col("csh")).as("matched_spans"))
+      .withColumn("matched_pm",
+        when(col("n_spans") === 0, lit(0L))
+          .otherwise(expr("matched_spans * 1000 div n_spans")))
+      .select("doc_id", "n_spans", "matched_spans", "matched_pm")
+  }
+
+  /** Admission verdict at `maxPm` per-mille matched spans: `admit`,
+    * or `reject_span_dup` for docs whose corpus-known span share
+    * exceeds the cap. */
+  def admissionVerdicts(stream: DataFrame, spark: SparkSession,
+                        table: String, maxPm: Long = 500,
+                        k: Int = defaultSpanLen): DataFrame =
+    spanMatches(stream, spark, table, k)
+      .withColumn("verdict",
+        when(col("matched_pm") > maxPm, lit("reject_span_dup"))
+          .otherwise(lit("admit")))
+}

@@ -172,6 +172,36 @@ object PerfBench {
     }
   }
 
+  /** Span-gate latency curve: stage the corpus's distinct span hashes
+    * once (bucketed), then measure the per-micro-batch gate at ~1k and
+    * ~10k docs. Same discipline as [[streamAdmission]]. */
+  private def spanGate(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String, reps: Int): Unit = {
+    val table = "perf_corpus_spans"
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val t0 = System.nanoTime()
+    streaming.StreamingSpanGate.stageCorpusSpans(spark, corpus, table)
+    println(f"[perf] stage_corpus_spans: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val nDocs = corpus.count()
+    Seq(1000L, 10000L).foreach { size =>
+      val m = math.max(1L, nDocs / size)
+      val batch = corpus.where(pmod(col("doc_id"), lit(m)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(9000000000L))
+        .localCheckpoint(true)
+      val runs = (1 to reps).map { _ =>
+        val s0 = System.nanoTime()
+        val flagged = streaming.StreamingSpanGate
+          .spanMatches(batch, spark, table)
+          .where(col("matched_spans") > 0).count()
+        ((System.nanoTime() - s0) / 1e9, flagged)
+      }
+      val med = runs.map(_._1).sorted.apply(runs.size / 2)
+      println(f"[perf] span_gate batch=${batch.count()} (target $size): " +
+        f"median $med%.3f s of $reps, flagged=${runs.head._2} " +
+        runs.map(r => f"${r._1}%.3f").mkString("[", ", ", "]"))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(5)
@@ -192,6 +222,7 @@ object PerfBench {
       }
       names.filterNot(_ == "nostage").foreach {
         case "stream_admission" => streamAdmission(spark, sfDir, reps)
+        case "span_gate" => spanGate(spark, sfDir, reps)
         case "q79_probe" =>
           def tm(n: String)(b: => Long): Unit = {
             val t0 = System.nanoTime(); val x = b
