@@ -35,6 +35,32 @@ object Bench {
 
   private val reps = 3
 
+  /** First line of /proc/loadavg (empty string off-Linux) — captured at
+    * run start and end so a contended artifact self-identifies. */
+  private def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    catch { case _: Throwable => "" }
+
+  /** Contention guard (round-11, VERDICT r10 #1): a FIXED pure-CPU
+    * calibration query — `sum(id % 7)` over a 400M-row range across 32
+    * local threads — whose cost is independent of every repo code path
+    * and of the SF under test. Median of 3. On a quiet box this lands
+    * at a stable per-machine constant; a polluted run (the r10 artifact
+    * was ~2× inflated by machine contention with a zero-line source
+    * diff) shows up directly as an inflated calib number, making
+    * cross-round query ratios attributable without a re-run. */
+  private def calibrate(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val runs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, 32).select(fsum(col("id") % 7)).collect()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    runs(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional comma-separated query-name filter (scaling experiments on
@@ -69,6 +95,9 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case e: Throwable => errors("warmup") = e.toString.take(160) }
 
+    val loadStart = loadavg()
+    val calibStart = calibrate(spark)
+
     // pass 1: staging OFF — the persist()-fallback baseline for the
     // dedup pipeline queries
     val unstaged = graft.operators.DedupOps.withStagingRoot(None) {
@@ -101,9 +130,15 @@ object Bench {
     val errJson = errors.toSeq
       .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
+    val calibEnd = calibrate(spark)
+    val loadEnd = loadavg()
+    val guardJson =
+      s""""calib_start_sec":${"%.4f".formatLocal(java.util.Locale.ROOT, calibStart)},""" +
+      s""""calib_end_sec":${"%.4f".formatLocal(java.util.Locale.ROOT, calibEnd)},""" +
+      s""""loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}""""
     val total = results.map(_._2).sum
     def line(fmt: Double => String, extra: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${toJson(results, fmt)}$extra,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${toJson(results, fmt)}$extra,$guardJson,"errors":$errJson,"sf":"$sfDir"}"""
     // full-precision artifact (incl. the unstaged attribution pass) on
     // disk; the round artifact captures only the last ~2000 chars of
     // stdout, which truncated the r7/r8 full-name line mid-JSON
@@ -123,7 +158,7 @@ object Bench {
     val compact = results.map { case (k, v) => short(k) -> v }
     println(s"""{"metric":"total","value":${"%.4f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","reps":$reps,"queries":${
       toJson(compact, v => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)))
-    },"errors":$errJson,"sf":"$sfDir","full":"$out"}""")
+    },$guardJson,"errors":$errJson,"sf":"$sfDir","full":"$out"}""")
     spark.stop()
   }
 }

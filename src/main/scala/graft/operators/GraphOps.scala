@@ -131,10 +131,17 @@ object GraphOps {
     // the ids aside and fold them back at the end as singletons, so
     // the vertex contract matches connectedComponents (which keeps
     // them naturally)
-    val selfIds = raw.where(col("src") === col("dst"))
+    // cheap existence check first (limit-1 scan of the checkpointed
+    // projection, short-circuits at the first self-loop): dedup edge
+    // sets normally have none, and the guard removes the distinct +
+    // anti-join — and the extra edge scan they imply — from the
+    // RETURNED plan, which downstream consumers may execute many times
+    val hasSelfLoops = !raw.where(col("src") === col("dst")).isEmpty
+    lazy val selfIds = raw.where(col("src") === col("dst"))
       .select(col("src").as("id")).distinct()
     def withSelfLoopSingletons(res: DataFrame): DataFrame =
-      res.unionByName(
+      if (!hasSelfLoops) res
+      else res.unionByName(
         selfIds.join(res.select("id"), Seq("id"), "left_anti")
           .withColumn("lbl", col("id")))
     var e = raw.where(col("src") =!= col("dst"))

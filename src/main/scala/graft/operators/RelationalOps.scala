@@ -687,14 +687,23 @@ object RelationalOps {
 
   /** q78: top-revenue suppliers (TPC-H Q15 shape) — the revenue view
     * plus a scalar MAX subquery, kept as ties-included selection.
-    * The max attaches via a single-partition window over the
-    * supplier-quarter AGGREGATE (one row per active supplier — a
-    * milliseconds pass over a bounded frame), NOT the usual
+    * The max attaches via a SALTED two-stage window over the
+    * supplier-quarter aggregate, NOT the usual
     * crossJoin(broadcast(agg)) scalar attachment: that pattern would
     * re-derive the aggregate branch and re-scan lineitem — at 100 TB
     * the second scan costs more than everything else in the query.
-    * One lineitem scan total, spec-pinned. Revenue is exact decimal
-    * (order-independent), cast back to double for the contract. */
+    * Stage 1 computes per-salt maxima across 64 hash partitions (the
+    * rev frame is one row per ACTIVE supplier — SF-scaled, tens of
+    * millions at a true 100 TB, so a single-partition pass over it
+    * would NOT be scale-safe); stage 2 runs over the surviving
+    * candidates, at most one distinct value per salt plus ties of the
+    * winner — bounded by the salt count regardless of supplier
+    * cardinality. Its partition spec is a constant expression rather
+    * than empty, so WindowExec never logs the
+    * "No Partition Defined" single-partition warning for a frame
+    * that is bounded by construction. One lineitem scan total,
+    * spec-pinned. Revenue is exact decimal (order-independent), cast
+    * back to double for the contract. */
   def topRevenueSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val rev = Tables.lineitem(spark, sfDir)
       .where(col("l_shipdate") >= lit("1997-01-01") &&
@@ -702,8 +711,17 @@ object RelationalOps {
       .groupBy("l_suppkey")
       .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
         .as("__rev"))
-    val best = rev
-      .withColumn("__max", max("__rev").over(Window.partitionBy()))
+    val nSalts = 64
+    val cand = rev
+      .withColumn("__salt", pmod(col("l_suppkey"), lit(nSalts)))
+      .withColumn("__smax", max("__rev").over(Window.partitionBy("__salt")))
+      .where(col("__rev") === col("__smax"))
+    // pmod(__salt, 1) ≡ 0 but is not constant-folded away, keeping the
+    // partition spec non-empty (no WindowExec warning) while placing
+    // the ≤ nSalts surviving rows in one partition for the final max
+    val best = cand
+      .withColumn("__max",
+        max("__rev").over(Window.partitionBy(pmod(col("__salt"), lit(1)))))
       .where(col("__rev") === col("__max"))
       .withColumn("total_revenue", col("__rev").cast("double"))
     Tables.supplier(spark, sfDir)
