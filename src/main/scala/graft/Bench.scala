@@ -31,7 +31,7 @@ object Bench {
     Seq("q20_minhash_signatures", "q21_lsh_candidates", "q22_jaccard_verify",
       "q23_simhash", "q24_simhash_pairs", "q32_dedup_keep_list",
       "q44_jaccard_scale", "q47_dedup_clusters", "q60_containment",
-      "q62_source_overlap")
+      "q62_source_overlap", "q63_curation_funnel")
 
   private val reps = 3
 

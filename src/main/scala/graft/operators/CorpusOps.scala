@@ -640,22 +640,46 @@ object CorpusOps {
     * ([[DedupOps.keeperTable]]) that the keep-list also consumes —
     * the corpus-wide md5 window is paid once per corpus, not once
     * per funnel report. */
+  /** Staged per-doc curation stage-flags (`stage_flags`): one row per
+    * document with its verdict at every funnel stage — exact-dup
+    * survivor (q32's keeper), near-dup keep-list member (q32), quality
+    * pass (q51), decontaminated (q48). The q51 quality subtree and the
+    * q48 benchmark-overlap subtree are the funnel's whole cost when
+    * recomputed inline (the r9 100× funnel tail, 9.9 s, was exactly
+    * these two); staged, they are paid once per corpus alongside the
+    * other staged dedup artifacts and every funnel report afterwards
+    * is a scan + one aggregate over five tiny columns. */
+  private[graft] def stageFlagsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    def compute = {
+      val keeper = DedupOps.keeperTable(spark, sfDir)
+      keeper
+        .join(DedupOps.dedupKeepList(spark, sfDir).select("doc_id")
+                .withColumn("f_near", lit(true)), Seq("doc_id"), "left")
+        .join(qualityFilter(spark, sfDir).where(col("pass") === 1)
+                .select("doc_id").withColumn("f_q", lit(true)), Seq("doc_id"), "left")
+        .join(decontaminate(spark, sfDir).where(col("contaminated") === 0)
+                .select("doc_id").withColumn("f_dc", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("doc_id") === col("keeper")).as("f_exact"),
+          coalesce(col("f_near"), lit(false)).as("f_near"),
+          coalesce(col("f_q"), lit(false)).as("f_q"),
+          coalesce(col("f_dc"), lit(false)).as("f_dc"))
+    }
+    Staging.root match {
+      case None => compute
+      case _    => Staging.readThrough(spark, sfDir, "stage_flags")(compute)
+    }
+  }
+
   def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    // One pass: per-doc stage-membership flags assembled by left
-    // semi-style joins (no action each), ONE aggregate produces every
+    // One pass: per-doc stage-membership flags (staged — recomputed
+    // inline only when staging is off), ONE aggregate produces every
     // stage count, and `stack` unpivots to the report rows — a funnel
-    // over any corpus size costs one job, not one job per stage.
-    val keeper = DedupOps.keeperTable(spark, sfDir)
-    val flags = keeper
-      .join(DedupOps.dedupKeepList(spark, sfDir).select("doc_id")
-              .withColumn("f_near", lit(true)), Seq("doc_id"), "left")
-      .join(qualityFilter(spark, sfDir).where(col("pass") === 1)
-              .select("doc_id").withColumn("f_q", lit(true)), Seq("doc_id"), "left")
-      .join(decontaminate(spark, sfDir).where(col("contaminated") === 0)
-              .select("doc_id").withColumn("f_dc", lit(true)), Seq("doc_id"), "left")
-    flags.agg(
+    // over any corpus size costs one scan-and-count job, not one
+    // operator-subtree job per stage.
+    stageFlagsTable(spark, sfDir).agg(
         count(lit(1)).as("c_raw"),
-        sum(when(col("doc_id") === col("keeper"), 1L).otherwise(0L)).as("c_exact"),
+        sum(when(col("f_exact"), 1L).otherwise(0L)).as("c_exact"),
         sum(when(col("f_near"), 1L).otherwise(0L)).as("c_near"),
         sum(when(col("f_near") && col("f_q"), 1L).otherwise(0L)).as("c_q"),
         sum(when(col("f_near") && col("f_q") && col("f_dc"), 1L)

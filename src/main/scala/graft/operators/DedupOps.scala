@@ -67,6 +67,21 @@ object DedupOps {
   // ---------------------------------------------------------------- staging
   // shared read-through mechanics (incl. the source-content
   // fingerprint in the staging key) live in graft.operators.Staging
+  //
+  // Cache-lifetime contract for the persist() FALLBACK sites (active
+  // only when staging is off — sigTable, sharedShingles, simhashPairs,
+  // and the `*Of` library entries over arbitrary frames): each persist
+  // backs multiple references to the same subtree INSIDE the returned
+  // lazy plan, so the function cannot unpersist before returning (the
+  // q79 `finally unpersist` pattern at prefixJaccardPairsOf applies
+  // only because that function consumes the persist itself via
+  // localCheckpoint). Ownership therefore sits with the CALLER's
+  // session: Spark's CacheManager keys entries by logical plan, so
+  // repeated calls over the same corpus reuse one entry (no growth),
+  // and `spark.catalog.clearCache()` — which Bench issues after every
+  // measurement — or session stop releases them. Long-lived drivers
+  // cycling many DISTINCT unstaged corpora should either enable
+  // staging or clearCache() between corpora.
 
   /** Run `body` with an explicit staging root (`Some(dir)`) or staging
     * disabled (`None`), scoped to the current thread — concurrent
@@ -146,6 +161,10 @@ object DedupOps {
           }) ++
           Seq(chain("contain") { containCandTable(spark, sfDir): Unit }) ++
           Seq(chain("keeper") { keeperTable(spark, sfDir): Unit }) ++
+          // per-doc funnel stage-flags (q63): consumes the keeper and
+          // verified tables read-through (the dir locks serialize it
+          // behind the chains building them) plus the q51/q48 subtrees
+          Seq(chain("flags") { CorpusOps.stageFlagsTable(spark, sfDir): Unit }) ++
           (if (ivf) Seq(chain("ivf") { EmbeddingOps.stageIvf(spark, sfDir): Unit })
            else Nil)
         try Await.result(Future.sequence(chains), Duration.Inf): Unit
@@ -914,14 +933,21 @@ object DedupOps {
 
   /** Doc-level shingle-set table (`doc_sets`): one row per doc with
     * the sorted distinct-shingle array + its size. The verify stage
-    * joins it twice (doc_a / doc_b side); staged so each side is a
-    * parquet scan, not a corpus-wide collect_list aggregate. */
+    * joins it twice per pass (doc_a / doc_b side) from THREE consumers
+    * (q79 prefix pairs, q60 containment, q61 incremental admission);
+    * staged BUCKETED ON doc_id (r11, PERF.md §13) so every verify
+    * attach is a sort-merge join that reads the set arrays
+    * bucket-aligned in place — only the candidate-pair side shuffles.
+    * Without the bucketing the arrays themselves were the shuffle
+    * (~25 GB across the verify consumers at 100×). */
   private[graft] def docSetsTable(spark: SparkSession, sfDir: String): DataFrame = {
     val compute =
       setsFrom(sharedShingles(spark, sfDir).select("doc_id", "s", "h"))
     stagingRoot match {
       case None => compute
-      case _    => staged(spark, sfDir, "doc_sets")(compute)
+      case _ =>
+        Staging.bucketedReadThrough(spark, sfDir, "doc_sets",
+          buckets = 64, bucketCol = "doc_id")(compute)
     }
   }
 

@@ -22,7 +22,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object Staging {
 
   /** Bump when any staged-table semantics change. */
-  private val stageVersion = "v2" // r9: prefix carries h60; doc_sets adds hs/nh
+  private val stageVersion = "v3" // r11: doc_sets is doc_id-bucketed
 
   private val overrideRoot =
     new scala.util.DynamicVariable[Option[Option[String]]](None)
@@ -102,6 +102,48 @@ private[graft] object Staging {
           }
         }
         spark.read.parquet(dir)
+    }
+
+  /** Read-through staging with a PHYSICAL CO-LOCATION contract: the
+    * table is written as parquet BUCKETED (and intra-bucket sorted) on
+    * `bucketCol` and registered in the session catalog, so every
+    * downstream equi-join on that column plans a sort-merge join whose
+    * staged side reads bucket-aligned straight off its files — only
+    * the (small) probe side shuffles, per consumer, forever. This is
+    * the layout PERF.md §13 names for the dedup verify-attach joins:
+    * at 100× the doc_sets arrays are ~GBs of shuffle per verify
+    * consumer without it, zero with it. Same pattern as
+    * `StreamingDedup.stageCorpusBands` (StreamingDedup.scala:130).
+    *
+    * Bucket metadata lives in the catalog, not the files, so a NEW
+    * session that finds the files already staged re-registers them
+    * with a `CREATE TABLE … CLUSTERED BY … LOCATION` DDL (schema read
+    * from the parquet footers — no recompute). The catalog name is
+    * derived from the staging dir (root + version + corpus
+    * fingerprint), so distinct corpora/roots never collide. */
+  def bucketedReadThrough(spark: SparkSession, sfDir: String,
+                          table: String, buckets: Int, bucketCol: String)
+                         (compute: => DataFrame): DataFrame =
+    root match {
+      case None => compute
+      case Some(r) =>
+        val dir = tableDir(r, sfDir, table)
+        val name = "graft_" + table + "_" + md5Hex(dir).take(12)
+        dirLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+          if (!spark.catalog.tableExists(name)) {
+            val dst = java.nio.file.Paths.get(dir)
+            if (java.nio.file.Files.exists(dst.resolve("_SUCCESS"))) {
+              val ddl = spark.read.parquet(dir).schema.toDDL
+              spark.sql(s"CREATE TABLE $name ($ddl) USING PARQUET " +
+                s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
+                s"INTO $buckets BUCKETS LOCATION '$dir'"): Unit
+            } else
+              compute.write.mode("overwrite")
+                .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+                .option("path", dir).format("parquet").saveAsTable(name)
+          }
+        }
+        spark.table(name)
     }
 
   /** Atomically promote a fully-written temp table to its final name.

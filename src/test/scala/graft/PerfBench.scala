@@ -202,6 +202,55 @@ object PerfBench {
     }
   }
 
+  /** Sustained-ingest drive for the span gate (verdict r10 #7): stage
+    * the corpus span posting once, then run `triggers` REAL micro-batch
+    * triggers of ~2k docs each through a MemoryStream + foreachBatch
+    * query — the deployment shape — recording per-trigger wall time
+    * and the streaming state-store row count. Flat trigger times +
+    * zero state rows = no per-trigger growth. */
+  private def spanGateSustained(spark: org.apache.spark.sql.SparkSession,
+                                sfDir: String, triggers: Int): Unit = {
+    import spark.implicits._
+    val table = "perf_corpus_spans_sustained"
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val t0 = System.nanoTime()
+    streaming.StreamingSpanGate.stageCorpusSpans(spark, corpus, table)
+    println(f"[perf] stage_corpus_spans: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+      f"(${spark.table(table).count()} distinct corpus spans)")
+    val nDocs = corpus.count()
+    val m = math.max(1L, nDocs / 2000L)
+    val batchTexts = corpus.where(pmod(col("doc_id"), lit(m)) === 0)
+      .as[(Long, String)].collect()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val times = scala.collection.mutable.ArrayBuffer[Double]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        streaming.StreamingSpanGate.spanMatches(b, spark, table).count(): Unit
+      }.start()
+    try {
+      (1 to triggers).foreach { i =>
+        val s0 = System.nanoTime()
+        mem.addData(batchTexts.toSeq.map { case (id, t) =>
+          (id + i * 100000000L, t) }: _*)
+        q.processAllAvailable()
+        times += (System.nanoTime() - s0) / 1e9
+      }
+      val stateRows = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).sum
+      def med3(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      println(f"[perf] span_gate_sustained: $triggers triggers x " +
+        f"${batchTexts.length} docs, state_rows_total=$stateRows, " +
+        f"first3_med=${med3(times.take(3).toSeq)}%.3f s " +
+        f"last3_med=${med3(times.takeRight(3).toSeq)}%.3f s " +
+        times.map(t => f"$t%.2f").mkString("[", ", ", "]"))
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(5)
@@ -223,6 +272,8 @@ object PerfBench {
       names.filterNot(_ == "nostage").foreach {
         case "stream_admission" => streamAdmission(spark, sfDir, reps)
         case "span_gate" => spanGate(spark, sfDir, reps)
+        case "span_gate_sustained" =>
+          spanGateSustained(spark, sfDir, math.max(20, reps))
         case "q79_probe" =>
           def tm(n: String)(b: => Long): Unit = {
             val t0 = System.nanoTime(); val x = b

@@ -69,6 +69,51 @@ class StagingSpec extends SparkSpec {
     assert(tmps.isEmpty, s"no temp debris expected, saw ${tmps.toSeq}")
   }
 
+  test("staged doc_sets is doc_id-bucketed: verify joins exchange only the probe side") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.DedupOps
+    val root = Files.createTempDirectory("graft_stage_bucketed").toString
+    DedupOps.withStagingRoot(Some(root)) {
+      val sets = DedupOps.docSetsTable(spark, sf)
+      // bucketing changes layout, never content
+      val staged = sets.orderBy("doc_id").collect()
+      val unstaged = DedupOps.withStagingRoot(None) {
+        DedupOps.docSetsTable(spark, sf).orderBy("doc_id").collect()
+      }
+      assert(staged.sameElements(unstaged), "bucketed != unstaged content")
+      // a verify-shaped equi-join on doc_id must shuffle ONLY the
+      // candidate/probe side; the set arrays read bucket-aligned
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = spark.range(64).select(col("id").as("doc_a"))
+        val j = probe.join(sets, probe("doc_a") === sets("doc_id"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+        // the planner enables the bucketed read exactly when a join
+        // consumes the partitioning (a bare scan reports
+        // "Bucketed: false (disabled by query planner)")
+        assert(plan.contains("Bucketed: true"),
+          s"sets side must read its buckets in place:\n$plan")
+        val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+        assert(nEx == 1, s"only the probe side may exchange, saw $nEx:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // a NEW session finding the files already staged re-registers
+      // them through the DDL path (simulated: drop the catalog entry —
+      // external table, files stay — and read through again)
+      val name = spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_doc_sets_")).head
+      spark.sql(s"DROP TABLE $name")
+      val again = DedupOps.docSetsTable(spark, sf)
+      val reName = spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_doc_sets_")).head
+      val desc = spark.sql(s"DESCRIBE EXTENDED $reName").collect().mkString
+      assert(desc.contains("Bucket") && desc.contains("doc_id"),
+        s"re-registered table must stay doc_id-bucketed:\n$desc")
+      assert(again.count() == staged.length.toLong)
+    }
+  }
+
   test("stageAll builds the full staged table set concurrently and matches serial staging") {
     import graft.operators.DedupOps
     val p8 = DedupOps.defaultParams

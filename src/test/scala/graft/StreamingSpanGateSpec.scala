@@ -60,6 +60,43 @@ class StreamingSpanGateSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("sustained ingest: 24 triggers leave ZERO streaming state behind") {
+    // the gate's contract at scale: per-doc aggregation lives inside
+    // foreachBatch (batch-local), so a long-running admission stream
+    // accumulates NO state-store rows — state is what would grow
+    // per-trigger against an unbounded doc_id key space
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+    val table = "sg_sustained_spans"
+    StreamingSpanGate.stageCorpusSpans(spark, corpus, table, buckets = 8)
+    val batchTexts = corpus.limit(5).as[(Long, String)].collect()
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(
+          StreamingSpanGate.spanMatches(b, spark, table).count()): Unit
+      }.start()
+    try {
+      (1 to 24).foreach { i =>
+        mem.addData(batchTexts.toSeq.map { case (id, t) =>
+          (id + i * 1000000L, t) }: _*)
+        q.processAllAvailable()
+      }
+      assert(seen.get() == 24L * batchTexts.length,
+        "every trigger must produce one verdict row per doc")
+      val progresses = q.recentProgress.toSeq
+      assert(progresses.count(_.numInputRows > 0) >= 24,
+        s"expected >=24 data triggers, saw ${progresses.size}")
+      val stateRows = progresses.flatMap(_.stateOperators).map(_.numRowsTotal)
+      assert(stateRows.forall(_ == 0L) ,
+        s"span gate must be stateless across triggers, state rows: $stateRows")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("live stream via foreachBatch: verdicts arrive per micro-batch") {
     val corpus = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
