@@ -732,7 +732,7 @@ object DedupOps {
     * to the LSH candidate table — the df aggregate + per-doc anchor
     * window is computed once per corpus, and the census query reads a
     * bounded pair list. */
-  private def containCandTable(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def containCandTable(spark: SparkSession, sfDir: String): DataFrame = {
     def compute = containmentCandidates(sharedShingles(spark, sfDir))
     stagingRoot match {
       case None => compute
@@ -769,7 +769,7 @@ object DedupOps {
     * exploded candidates x shingles overlap join, whose shuffle
     * carried one row per SHARED SHINGLE per pair — at 100× that was
     * the bulk of the census cost. */
-  private def containmentVerify(cand: DataFrame, sets: DataFrame): DataFrame = {
+  private[graft] def containmentVerify(cand: DataFrame, sets: DataFrame): DataFrame = {
     val hashPass = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
         col("n").as("na"), col("nh").as("nha")), "doc_a")

@@ -124,9 +124,91 @@ object PerfBench {
       .groupBy("sh").agg(countDistinct("doc_id").as("df"))
       .where(col("df") >= 2).select("sh")
 
+  /** The staged `doc_sets` table re-read as PLAIN parquet: byte-identical
+    * files, bucket metadata dropped — the A/B baseline isolating what the
+    * doc_id bucketing (r11, `Staging.bucketedReadThrough`) buys the verify
+    * attach joins. Requires staging on (stageAll has run). */
+  private def docSetsUnbucketed(spark: org.apache.spark.sql.SparkSession,
+                                sfDir: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(operators.Staging.tableDir(
+      operators.Staging.root.get, sfDir, "doc_sets"))
+
+  private def q79Verify(spark: org.apache.spark.sql.SparkSession,
+                        sfDir: String, sets: org.apache.spark.sql.DataFrame) = {
+    val D = operators.DedupOps
+    val t = D.prefixThreshold
+    D.verifyPrefixPairs(
+      D.candidatesFrom(D.prefixTable(spark, sfDir, t), t), sets, t)
+  }
+
+  /** q56 A/B variants (verdict r10 #8, stretch). The shipped query's
+    * df join is hint-free (AQE broadcasts while the vocabulary fits).
+    * A bloom filter on the join is pointless here — df DERIVES from tf,
+    * so the term sets are identical by construction; the measurable
+    * alternatives are (a) forcing the broadcast vs letting AQE decide
+    * and (b) replacing the per-doc row_number window (repartition +
+    * sort) with a collect-and-slice aggregate (partial-agg shuffle, no
+    * sort). Both keep the exact (score desc, term asc) top-k ranking. */
+  private def q56Variant(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String, bcastDf: Boolean,
+                         aggTopK: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df0 = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val df = if (bcastDf) broadcast(df0) else df0
+    val scored = tf.join(df, "term")
+      .withColumn("score_ppm", expr("tf * 1000000 div df"))
+    if (!aggTopK) {
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_ppm").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_ppm", "rank")
+        .orderBy("doc_id", "rank")
+    } else
+      scored
+        .groupBy("doc_id")
+        .agg(slice(array_sort(collect_list(struct(
+          (-col("score_ppm")).as("negScore"), col("term"), col("tf"),
+          col("df"), col("score_ppm")))), 1, 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")))
+        .select(col("doc_id"), col("col.term"), col("col.tf"),
+          col("col.df"), col("col.score_ppm"),
+          (col("pos") + 1).as("rank"))
+        .orderBy("doc_id", "rank")
+  }
+
+  private[graft] def q56AggTopKPublic(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    q56Variant(spark, sfDir, bcastDf = true, aggTopK = true)
+
   private val variants: Map[String,
       (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map("q79_r8_unstaged" -> (q79r8 _),
+      "q56_shipped" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        q56Variant(s, d, bcastDf = false, aggTopK = false)),
+      "q56_bcast_df" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        q56Variant(s, d, bcastDf = true, aggTopK = false)),
+      "q56_agg_topk" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        q56Variant(s, d, bcastDf = true, aggTopK = true)),
+      // bucketed-vs-plain doc_sets A/B (verdict r10 #3): same staged
+      // files, same candidates; only the bucket metadata differs, so
+      // the delta is exactly the doc_sets-side exchange of the attach
+      "q79_verify_bucketed" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        q79Verify(s, d, operators.DedupOps.docSetsTable(s, d))),
+      "q79_verify_unbucketed" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        q79Verify(s, d, docSetsUnbucketed(s, d))),
+      "q60_verify_bucketed" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        operators.DedupOps.containmentVerify(
+          operators.DedupOps.containCandTable(s, d),
+          operators.DedupOps.docSetsTable(s, d))),
+      "q60_verify_unbucketed" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        operators.DedupOps.containmentVerify(
+          operators.DedupOps.containCandTable(s, d),
+          docSetsUnbucketed(s, d))),
       "lsh_verify_r8" -> (lshVerifyR8 _),
       "lsh_verify_r9" -> (lshVerifyR9 _),
       "q80_phase1_builtin" -> (q80Phase1Builtin _),
