@@ -51,14 +51,17 @@ object Bench {
     * was ~2× inflated by machine contention with a zero-line source
     * diff) shows up directly as an inflated calib number, making
     * cross-round query ratios attributable without a re-run. */
-  private def calibrate(spark: org.apache.spark.sql.SparkSession): Double = {
+  /** Returns (median, all-three-samples) so the artifact can carry the
+    * raw `calib_series` — the in-run drift guard (a440f24). */
+  private def calibrate(
+      spark: org.apache.spark.sql.SparkSession): (Double, Seq[Double]) = {
     import org.apache.spark.sql.functions.{col, sum => fsum}
     val runs = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       spark.range(0L, 400000000L, 1L, 32).select(fsum(col("id") % 7)).collect()
       (System.nanoTime() - t0) / 1e9
-    }.sorted
-    runs(1)
+    }
+    (runs.sorted.apply(1), runs)
   }
 
   def main(args: Array[String]): Unit = {
@@ -96,7 +99,7 @@ object Bench {
     catch { case e: Throwable => errors("warmup") = e.toString.take(160) }
 
     val loadStart = loadavg()
-    val calibStart = calibrate(spark)
+    val (calibStart, calibStartRuns) = calibrate(spark)
 
     // pass 1: staging OFF — the persist()-fallback baseline for the
     // dedup pipeline queries
@@ -110,16 +113,22 @@ object Bench {
     // timed entry (single-shot: the staging tables are write-once, a
     // repeat would measure a no-op), then every query runs
     val stageDir = java.nio.file.Files.createTempDirectory("graft_bench_stage").toString
+    val anyStaged = stagedNames.exists(selected)
     val results = graft.operators.DedupOps.withStagingRoot(Some(stageDir)) {
       val t0 = System.nanoTime()
       // both minhash presets + simhash + the IVF model; the chains
-      // after the shared shingle table run as concurrent Spark jobs
-      try graft.operators.DedupOps.stageAll(spark, sfDir)
-      catch { case e: Throwable => errors("stage_dedup") = e.toString.take(160) }
+      // after the shared shingle table run as concurrent Spark jobs.
+      // Skipped entirely when the query filter selects no staged query —
+      // a filtered run shouldn't pay (or report) 30 s of staging it
+      // never reads.
+      if (anyStaged)
+        try graft.operators.DedupOps.stageAll(spark, sfDir)
+        catch { case e: Throwable => errors("stage_dedup") = e.toString.take(160) }
       val stageSecs = (System.nanoTime() - t0) / 1e9
-      SparkEntry.queries.toSeq.filter(kv => selected(kv._1)).sortBy(_._1).map {
+      val timed = SparkEntry.queries.toSeq.filter(kv => selected(kv._1)).sortBy(_._1).map {
         case (name, fn) => name -> measure(name)(fn(spark, sfDir).count())
-      } :+ ("stage_dedup" -> stageSecs)
+      }
+      if (anyStaged) timed :+ ("stage_dedup" -> stageSecs) else timed
     }
 
     def esc(s: String): String =
@@ -130,15 +139,22 @@ object Bench {
     val errJson = errors.toSeq
       .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    val calibEnd = calibrate(spark)
+    val (calibEnd, calibEndRuns) = calibrate(spark)
     val loadEnd = loadavg()
+    def f4(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val guardJson =
-      s""""calib_start_sec":${"%.4f".formatLocal(java.util.Locale.ROOT, calibStart)},""" +
-      s""""calib_end_sec":${"%.4f".formatLocal(java.util.Locale.ROOT, calibEnd)},""" +
+      s""""calib_start_sec":${f4(calibStart)},""" +
+      s""""calib_end_sec":${f4(calibEnd)},""" +
+      s""""calib_series":[${(calibStartRuns ++ calibEndRuns).map(f4).mkString(",")}],""" +
       s""""loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}""""
-    val total = results.map(_._2).sum
+    // headline total over SUCCESSFUL queries only — summing the -1.0
+    // failure sentinels made a broken run look FASTER (the r11 artifact
+    // reported 11.19 s for a 19-failure run whose successes took 30 s).
+    // n_failed makes any such run self-identify as incomparable.
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
     def line(fmt: Double => String, extra: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${toJson(results, fmt)}$extra,$guardJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_failed":$nFailed,"queries":${toJson(results, fmt)}$extra,$guardJson,"errors":$errJson,"sf":"$sfDir"}"""
     // full-precision artifact (incl. the unstaged attribution pass) on
     // disk; the round artifact captures only the last ~2000 chars of
     // stdout, which truncated the r7/r8 full-name line mid-JSON
@@ -156,7 +172,7 @@ object Bench {
     def short(name: String): String =
       if (name.matches("q\\d+_.*")) name.takeWhile(_ != '_') else name
     val compact = results.map { case (k, v) => short(k) -> v }
-    println(s"""{"metric":"total","value":${"%.4f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","reps":$reps,"queries":${
+    println(s"""{"metric":"total","value":${f4(total)},"unit":"sec","reps":$reps,"n_failed":$nFailed,"queries":${
       toJson(compact, v => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)))
     },$guardJson,"errors":$errJson,"sf":"$sfDir","full":"$out"}""")
     spark.stop()

@@ -17,15 +17,25 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long
-      // (spark.sql.legacy.parquet.nanosAsLong); truncate to micros and
-      // surface as TIMESTAMP_NTZ — the same truncation DuckDB applies,
-      // so oracle comparisons line up.
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+      // Spark surfaces as long under spark.sql.legacy.parquet.nanosAsLong)
+      // and TIMESTAMP(MICROS). Normalize to TIMESTAMP_NTZ either way —
+      // the micros truncation is what DuckDB applies to nanos, so oracle
+      // comparisons line up — and decide from the RESOLVED schema, not
+      // from an assumption about the file: hard-coding `ts div 1000`
+      // breaks analysis for every events query the moment the testdata
+      // generator switches units.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr(
-            "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      import org.apache.spark.sql.functions.expr
+      import org.apache.spark.sql.types.LongType
+      raw.schema("ts").dataType match {
+        case LongType => // nanos surfaced as long → truncate to micros
+          raw.withColumn("ts",
+            expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        case _ =>        // already a timestamp type → just strip the zone
+          raw.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

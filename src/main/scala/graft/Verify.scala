@@ -12,7 +12,18 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A query that fails must show up RED in the correctness report,
+        // not vanish from it: round 11 broke all 19 events queries at
+        // analysis time and the report stayed all-green because failed
+        // queries simply had no output dir. Write a one-row sentinel
+        // whose schema can never match any oracle, so the driver compare
+        // records an explicit mismatch for this query.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        import spark.implicits._
+        try Seq(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}")
+          .toDF("__query_failed")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case _: Throwable => () }
       }
       // queries persist() shared subtrees internally; don't let cached
       // blocks accumulate across the 30+ query loop
