@@ -64,6 +64,14 @@ object Bench {
     (runs.sorted.apply(1), runs)
   }
 
+  /** One calibration sample (no median) — the cheap mid-run probe. */
+  private def calibrateOnce(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val t0 = System.nanoTime()
+    spark.range(0L, 400000000L, 1L, 32).select(fsum(col("id") % 7)).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional comma-separated query-name filter (scaling experiments on
@@ -100,14 +108,20 @@ object Bench {
 
     val loadStart = loadavg()
     val (calibStart, calibStartRuns) = calibrate(spark)
+    val calibMid = scala.collection.mutable.ArrayBuffer[Double]()
 
     // pass 1: staging OFF — the persist()-fallback baseline for the
-    // dedup pipeline queries
-    val unstaged = graft.operators.DedupOps.withStagingRoot(None) {
-      stagedNames.filter(selected).map { name =>
-        name -> measure(s"unstaged_$name")(SparkEntry.queries(name)(spark, sfDir).count())
+    // dedup pipeline queries. SPARK_GRAFT_SKIP_UNSTAGED=1 skips it:
+    // the pass exists to attribute staged-vs-unstaged deltas at the
+    // driver's sf0.1, and at 100× it would re-pay every unstaged
+    // dedup subtree 3× for a number nobody compares.
+    val skipUnstaged = sys.env.get("SPARK_GRAFT_SKIP_UNSTAGED").contains("1")
+    val unstaged = if (skipUnstaged) Seq.empty else
+      graft.operators.DedupOps.withStagingRoot(None) {
+        stagedNames.filter(selected).map { name =>
+          name -> measure(s"unstaged_$name")(SparkEntry.queries(name)(spark, sfDir).count())
+        }
       }
-    }
 
     // pass 2: staging ON into a fresh dir; materialization is its own
     // timed entry (single-shot: the staging tables are write-once, a
@@ -125,9 +139,15 @@ object Bench {
         try graft.operators.DedupOps.stageAll(spark, sfDir)
         catch { case e: Throwable => errors("stage_dedup") = e.toString.take(160) }
       val stageSecs = (System.nanoTime() - t0) / 1e9
-      val timed = SparkEntry.queries.toSeq.filter(kv => selected(kv._1)).sortBy(_._1).map {
-        case (name, fn) => name -> measure(name)(fn(spark, sfDir).count())
-      }
+      val timed = SparkEntry.queries.toSeq.filter(kv => selected(kv._1)).sortBy(_._1)
+        .zipWithIndex.map { case ((name, fn), i) =>
+          // one mid-run calibration sample every 20 queries: the r11
+          // postmortem (PERF §19) found intermittent MID-RUN drift that
+          // inflates a contiguous query band while both endpoints look
+          // quiet — only an in-band sample makes that self-identifying
+          if (i > 0 && i % 20 == 0) calibMid += calibrateOnce(spark)
+          name -> measure(name)(fn(spark, sfDir).count())
+        }
       if (anyStaged) timed :+ ("stage_dedup" -> stageSecs) else timed
     }
 
@@ -145,7 +165,7 @@ object Bench {
     val guardJson =
       s""""calib_start_sec":${f4(calibStart)},""" +
       s""""calib_end_sec":${f4(calibEnd)},""" +
-      s""""calib_series":[${(calibStartRuns ++ calibEndRuns).map(f4).mkString(",")}],""" +
+      s""""calib_series":[${(calibStartRuns ++ calibMid ++ calibEndRuns).map(f4).mkString(",")}],""" +
       s""""loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}""""
     // headline total over SUCCESSFUL queries only — summing the -1.0
     // failure sentinels made a broken run look FASTER (the r11 artifact

@@ -74,7 +74,8 @@ object MakeScaleData {
     * (event_id and user_id remapped, timestamps untouched): sessions,
     * windows, and per-user state machines keep their per-user density
     * while total volume scales linearly — the same day, K× the
-    * traffic. The raw read keeps `ts` as int64 nanos (the loader
+    * traffic. The raw read passes `ts` through in whatever unit the
+    * source carries (int64 nanos or timestamp micros); the loader
     * normalizes either representation identically). */
   def scaledEvents(spark: SparkSession, src: String, k: Int): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
