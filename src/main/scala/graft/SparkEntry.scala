@@ -183,6 +183,7 @@ object SparkEntry {
     // corpus: cross-doc repeated-span census (sliding window, native
     // one-pass span hashing; exact via string re-group of survivors)
     "q80_repeated_spans" -> CorpusOps.repeatedSpans _,
+    "q81_dedup_span_ranges" -> CorpusOps.dedupSpanRanges _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -268,5 +269,6 @@ object SparkEntry {
     "q78_top_revenue_supplier" -> RelationalOps.topRevenueSupplierSql,
     "q79_prefix_jaccard" -> DedupOps.prefixJaccardPairsSql,
     "q80_repeated_spans" -> CorpusOps.repeatedSpansSql,
+    "q81_dedup_span_ranges" -> CorpusOps.dedupSpanRangesSql,
   )
 }

@@ -427,6 +427,84 @@ object CorpusOps {
        |ORDER BY span""".stripMargin
   }
 
+  /** q81: per-document repeated-span REMOVAL RANGES — q80's census made
+    * actionable (Lee et al.'s ExactSubstr dedup, expressed at window
+    * granularity): for each document, the maximal token-index ranges
+    * covered by `spanLen`-token sliding windows whose text occurs in
+    * >= 2 distinct documents. A curation pipeline subtracts these
+    * ranges from the doc instead of dropping the whole document — the
+    * span-level analogue of the keep-list.
+    *
+    * Scale shape — q80's two exact phases plus a bounded third:
+    *   1. candidate hashes corpus-wide over 8-byte keys (native
+    *      one-pass [[graft.functions.SpanHashes]], shuffle carries
+    *      (hash, doc_id) only);
+    *   2. affected docs re-derive span strings WITH their window
+    *      index (narrow posexplode), string-exact re-check ndocs >= 2
+    *      so a 61-bit collision can only add work, never a wrong row;
+    *   3. flagged window indices merge into maximal ranges per doc via
+    *      the index-minus-rank island id — the window function runs
+    *      over FLAGGED rows only (by definition the rare tail), with
+    *      per-doc partitions, never corpus-sized ones. */
+  def dedupSpanRanges(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val hashed = docs.select(col("doc_id"),
+      explode(graft.functions.SpanHashes.span_hashes(col("text"), spanLen))
+        .as("sh"))
+    val candHashes = hashed.groupBy("sh")
+      .agg(countDistinct("doc_id").as("df"))
+      .where(col("df") >= 2).select("sh")
+    val hitDocs = hashed.join(candHashes, "sh").select("doc_id").distinct()
+    val wins = docs.join(hitDocs, "doc_id")
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= spanLen)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(toks) - ${spanLen - 1}),
+           |  i -> concat_ws(' ', slice(toks, i, $spanLen)))""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("span"))
+      .withColumn("sh", graft.functions.SpanHashes.span_hash(col("span")))
+      .join(candHashes, "sh")
+    val repSpans = wins.groupBy("span")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .where(col("ndocs") >= 2).select("span")
+    val flagged = wins.join(repSpans, "span").select("doc_id", "i")
+    flagged
+      .withColumn("g", col("i") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+      .groupBy("doc_id", "g")
+      .agg(min("i").as("start_tok"),
+        (max("i") + lit(spanLen - 1)).as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "start_tok", "end_tok", "n_windows")
+      .orderBy("doc_id", "start_tok")
+  }
+
+  val dedupSpanRangesSql: String = {
+    val k = spanLen
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS T FROM documents),
+       |idx AS (
+       |  SELECT doc_id, T, unnest(generate_series(1, len(T) - ${k - 1})) AS i
+       |  FROM tok WHERE len(T) >= $k),
+       |sp AS (
+       |  SELECT doc_id, i, array_to_string(T[i:i + ${k - 1}], ' ') AS span
+       |  FROM idx),
+       |rep AS (
+       |  SELECT span FROM sp GROUP BY span
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |fl AS (SELECT doc_id, i FROM sp JOIN rep USING (span)),
+       |isl AS (
+       |  SELECT doc_id, i,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+       |  FROM fl)
+       |SELECT doc_id, min(i) AS start_tok, max(i) + ${k - 1} AS end_tok,
+       |  count(*) AS n_windows
+       |FROM isl GROUP BY doc_id, g
+       |ORDER BY doc_id, start_tok""".stripMargin
+  }
+
   val boilerplateChunksSql: String = {
     val toks = "string_split(text, ' ')"
     // chunk i = tokens [i*L+1 .. min((i+1)*L, n)] joined by ' '

@@ -317,4 +317,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("span_hashes"),
       s"phase 1 must use the native window-hash expression:\n$plan")
   }
+
+  test("q81: dedup span ranges match a driver-side brute force") {
+    val k = 8
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // brute force: windows whose span text appears in >= 2 distinct
+    // docs, merged into maximal contiguous 1-based index ranges
+    val occ = scala.collection.mutable.Map.empty[String, Set[Long]]
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      (0 to toks.length - k).foreach { i =>
+        val span = toks.slice(i, i + k).mkString(" ")
+        occ(span) = occ.getOrElse(span, Set.empty) + id
+      }
+    }
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val flagged = (0 to toks.length - k).filter { i =>
+        occ(toks.slice(i, i + k).mkString(" ")).size >= 2
+      }.map(_ + 1L) // 1-based
+      // merge consecutive indices into islands
+      flagged.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((s, e, n) :: rest, i) if i == e - (k - 1) + 1 =>
+          (s, i + (k - 1), n + 1) :: rest
+        case (acc, i) => (i, i + (k - 1), 1L) :: acc
+      }.reverse.map { case (s, e, n) => (id, s, e, n) }
+    }.sortBy(r => (r._1, r._2))
+    assert(expected.nonEmpty) // the near-dup fixture must share spans
+    val got = CorpusOps.dedupSpanRanges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+    // ranges must be windows-covered: end - start + 1 >= k, and the
+    // window count must equal the range's window span
+    got.foreach { case (_, s, e, n) =>
+      assert(e - s + 1 >= k && n == e - s + 1 - (k - 1))
+    }
+  }
 }
