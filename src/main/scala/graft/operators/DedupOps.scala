@@ -144,7 +144,15 @@ object DedupOps {
         def chain(tag: String)(body: => Unit): Future[Unit] = Future {
           Staging.withRoot(someRoot) {
             spark.sparkContext.setJobGroup(s"graft-stage-$tag", tag, false)
-            try body finally spark.sparkContext.clearJobGroup()
+            val t0 = System.nanoTime()
+            try body finally {
+              spark.sparkContext.clearJobGroup()
+              // per-chain wall seconds to stderr: chains run as
+              // concurrent jobs, so the bench's stage_dedup total says
+              // nothing about WHICH chain dominates at a given SF
+              System.err.println(
+                f"[stage] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            }
           }
         }
         val chains =
@@ -213,7 +221,12 @@ object DedupOps {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Signature table, staged (or persist()ed when staging is off). */
+  /** Signature table, staged (or persist()ed when staging is off).
+    * (Tried doc_id-bucketed staging like `doc_sets` for the est-attach
+    * joins in r12: isolated stage times held but the CONCURRENT
+    * stageAll wall went 86 → 97 s — the per-chain saveAsTable catalog
+    * commands and extra repartition serialize against the other seven
+    * chains. Plain parquet staging wins at full concurrency.) */
   private def sigTable(spark: SparkSession, sfDir: String, p: MinHashParams): DataFrame =
     stagingRoot match {
       case None =>
@@ -355,8 +368,26 @@ object DedupOps {
            .select(col("__gmin").as("doc_a"), col("doc_id").as("doc_b"),
              lit(1.0).as("est_jaccard")))
       }
-    // band key "b_mh.._mh" — byte-identical to the column-wise concat
-    val bands0 = bandSig.select(col("doc_id"), explode(expr(bandArrayExpr(p))).as("bk"))
+    // Band key for the SELF-JOIN: an 8-byte xxhash64 of (band index,
+    // band slice), not the "b_mh.._mh" string — at h128/b16 the 8M-row
+    // band stream's ~160-byte concat strings were the dominant staging
+    // cost (build ~6.8 s PER SIDE plus the fat shuffle; the hashed keys
+    // cut the candidate stage 27 -> ~10 s at 100×). Exactness is NOT
+    // delegated to the hash: a 64-bit collision can only ADD a
+    // candidate row, and the exact band-slice recheck below (on the
+    // signature arrays the est stage attaches anyway) removes any pair
+    // that shares no true band — output identical to string banding.
+    val bandHashExpr = {
+      // element_at per rank instead of slice(): the slice form
+      // allocates a fresh 8-long array per band per row (16 per row at
+      // b16) just to feed the hash — measured 4.0 vs ~1.5 s over the
+      // 100× 8M-band stream
+      val elems = (1 to p.rowsPerBand)
+        .map(j => s"element_at(__sig, b * ${p.rowsPerBand} + $j)")
+        .mkString(", ")
+      s"transform(sequence(0, ${p.numBands - 1}), b -> xxhash64(b, $elems))"
+    }
+    val bands0 = bandSig.select(col("doc_id"), explode(expr(bandHashExpr)).as("bk"))
     // --- guard stage 2: per-bucket membership cap --------------------------
     SkewGuard.maybeLogOverflow(bands0, "bk", g.maxBucket, g.logOverflow, "lshCandidates")
     val bands = SkewGuard.capBuckets(bands0, "bk", "doc_id", g.maxBucket)
@@ -366,9 +397,15 @@ object DedupOps {
       .distinct()
     val matches = expr(
       "aggregate(zip_with(__sig_a, __sig_b, (x, y) -> if(x = y, 1, 0)), 0, (a, e) -> a + e)")
+    val sharesBand = expr(
+      s"""exists(sequence(0, ${p.numBands - 1}), b ->
+         |  slice(__sig_a, b * ${p.rowsPerBand} + 1, ${p.rowsPerBand}) =
+         |  slice(__sig_b, b * ${p.rowsPerBand} + 1, ${p.rowsPerBand}))"""
+        .stripMargin)
     cand
       .join(arr.select(col("doc_id").as("doc_a"), col("__sig").as("__sig_a")), "doc_a")
       .join(arr.select(col("doc_id").as("doc_b"), col("__sig").as("__sig_b")), "doc_b")
+      .where(sharesBand)
       .withColumn("est_jaccard", matches.cast("double") / p.numHashes)
       .where(col("est_jaccard") >= estThreshold)
       .select("doc_a", "doc_b", "est_jaccard")

@@ -356,6 +356,104 @@ object PerfBench {
         case "span_gate" => spanGate(spark, sfDir, reps)
         case "span_gate_sustained" =>
           spanGateSustained(spark, sfDir, math.max(20, reps))
+        case "sig128_ab" =>
+          // Hypothesis: the h128 signature aggregate (128 min-agg
+          // columns) exceeds spark.sql.codegen.maxFields=100, so
+          // HashAggregate leaves whole-stage codegen and the staging
+          // critical path pays interpreted evaluation. A/B the same
+          // plan under 100 vs 256.
+          val sh = operators.DedupOps
+            .shinglesOf(Tables.documents(spark, sfDir))
+            .select("doc_id", "h")
+          def sig(n: Int) = {
+            val P = 2305843009213693951L
+            val aggs = (0 until n).map(i =>
+              min(expr(s"(${2 * i + 1234567} * h + ${i * 987654 + 3}) % $P"))
+                .as(s"mh$i"))
+            sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+          }
+          for (mf <- Seq("100", "256", "100"); n <- Seq(128)) {
+            spark.conf.set("spark.sql.codegen.maxFields", mf)
+            val runs = (1 to reps).map { _ =>
+              val t0 = System.nanoTime(); sig(n).count()
+              (System.nanoTime() - t0) / 1e9
+            }.sorted
+            println(f"[perf] sig$n maxFields=$mf median ${runs(runs.size / 2)}%.3f s")
+          }
+        case "h128_probe" =>
+          // Stage-by-stage wall time of the minhash-h128 chain (the
+          // 100× staging critical path): sig write, band self-join +
+          // cand write, hash-bound verify + write. Own fresh staging
+          // root (run with `nostage` so main doesn't prestage).
+          val D = operators.DedupOps
+          val p = D.scaleParams
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_h128_probe").toString
+          D.withStagingRoot(Some(dir)) {
+            def tm(n: String)(b: => Long): Unit = {
+              val t0 = System.nanoTime(); val x = b
+              println(f"[perf] h128 $n: ${(System.nanoTime() - t0) / 1e9}%.3f s (n=$x)")
+            }
+            tm("shingles")(D.sharedShingles(spark, sfDir).count())
+            tm("sig")(D.minhashSignatures(spark, sfDir, p).count())
+            // sub-stages of the candidate build, cumulative (each
+            // recomputes its prefix; deltas attribute the cost)
+            val sig = D.minhashSignatures(spark, sfDir, p)
+            val arr = sig.select(col("doc_id"),
+              array((0 until p.numHashes).map(i => col(s"mh$i")): _*).as("__sig"))
+            tm("  arr")(arr.count())
+            val fp = arr.withColumn("__fp", xxhash64(col("__sig")))
+            import org.apache.spark.sql.expressions.Window
+            val wfp = Window.partitionBy("__fp")
+            tm("  guard-window")(fp
+              .withColumn("__gmin", min(col("doc_id")).over(wfp))
+              .withColumn("__repv", min_by(col("__sig"), col("doc_id")).over(wfp))
+              .count())
+            val hashExpr =
+              s"""transform(sequence(0, ${p.numBands - 1}), b ->
+                 |  xxhash64(b, slice(__sig, b * ${p.rowsPerBand} + 1, ${p.rowsPerBand})))"""
+                .stripMargin
+            val bandsS = arr.select(col("doc_id"),
+              explode(expr(D.bandArrayExpr(p))).as("bk"))
+            tm("  bands-string")(bandsS.count())
+            val bands0 = arr.select(col("doc_id"),
+              explode(expr(hashExpr)).as("bk"))
+            tm("  bands-hash")(bands0.count())
+            tm("  band-join")(bands0.as("x").join(bands0.as("y"),
+                col("x.bk") === col("y.bk") &&
+                col("x.doc_id") < col("y.doc_id"))
+              .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+              .count())
+            tm("  band-join-distinct")(bands0.as("x").join(bands0.as("y"),
+                col("x.bk") === col("y.bk") &&
+                col("x.doc_id") < col("y.doc_id"))
+              .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+              .distinct().count())
+            val elems = (1 to p.rowsPerBand)
+              .map(j => s"element_at(__sig, b * ${p.rowsPerBand} + $j)")
+              .mkString(", ")
+            val bandsE = arr.select(col("doc_id"), explode(expr(
+              s"transform(sequence(0, ${p.numBands - 1}), b -> xxhash64(b, $elems))"))
+              .as("bk"))
+            tm("  bands-elem")(bandsE.count())
+            val candD = bandsE.as("x").join(bandsE.as("y"),
+                col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+              .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+              .distinct()
+            tm("  est-attach")(candD
+              .join(arr.select(col("doc_id").as("doc_a"), col("__sig").as("__sig_a")), "doc_a")
+              .join(arr.select(col("doc_id").as("doc_b"), col("__sig").as("__sig_b")), "doc_b")
+              .count())
+            tm("cand")(D.lshCandidates(spark, sfDir, p).count())
+            println("[perf] cand plan:\n" +
+              D.lshCandidates(spark, sfDir, p).queryExecution.executedPlan
+                .toString.linesIterator
+                .filter(l => l.contains("Exchange") || l.contains("Scan") ||
+                  l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin"))
+                .map(_.take(140)).mkString("\n"))
+            tm("doc_sets")(D.docSetsTable(spark, sfDir).count())
+            tm("verified")(D.jaccardVerify(spark, sfDir, p).count())
+          }
         case "q79_probe" =>
           def tm(n: String)(b: => Long): Unit = {
             val t0 = System.nanoTime(); val x = b
