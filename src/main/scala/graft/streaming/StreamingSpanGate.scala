@@ -87,6 +87,38 @@ object StreamingSpanGate {
       .select("doc_id", "n_spans", "matched_spans", "matched_pm")
   }
 
+  /** Removal RANGES per document — the actionable form of the gate
+    * (batch analogue: `CorpusOps.dedupSpanRanges`/q81): for each doc,
+    * the maximal 1-based token-index ranges covered by windows whose
+    * hash matches a corpus span. A pipeline strips the ranges and
+    * admits the rest of the doc instead of rejecting it whole.
+    *
+    * Same micro-batch-local shape as [[spanMatches]] (run inside
+    * foreachBatch): positions come from `posexplode` over the narrow
+    * per-row hash array, only the batch side shuffles into the corpus
+    * bucketing, and the island merge's window function runs over
+    * FLAGGED batch rows only — per-doc partitions, micro-batch-sized.
+    * Matching is hash-level, same contract (and same quantified
+    * collision-only error) as the rest of the gate. */
+  def spanRanges(stream: DataFrame, spark: SparkSession, table: String,
+                 k: Int = defaultSpanLen): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = withSpans(stream, k)
+      .select(col("doc_id"), posexplode(col("__shs")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("sh"))
+    val flagged = probes
+      .join(spark.table(table), col("sh") === col("csh"))
+      .select("doc_id", "i")
+    flagged
+      .withColumn("g", col("i") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+      .groupBy("doc_id", "g")
+      .agg(min("i").as("start_tok"), (max("i") + lit(k - 1)).as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "start_tok", "end_tok", "n_windows")
+  }
+
   /** Admission verdict at `maxPm` per-mille matched spans: `admit`,
     * or `reject_span_dup` for docs whose corpus-known span share
     * exceeds the cap. */

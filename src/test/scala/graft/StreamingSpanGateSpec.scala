@@ -60,6 +60,38 @@ class StreamingSpanGateSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("span ranges match driver-side island truth") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = docs.where(expr("NOT (doc_id % 10 = 7)"))
+    val batch = docs.where(expr("doc_id % 10 = 7"))
+    val table = "sg_corpus_spans_rng"
+    StreamingSpanGate.stageCorpusSpans(spark, corpus, table, buckets = 8)
+    try {
+      // driver truth: flagged window positions (1-based) merged into
+      // maximal contiguous ranges — the q81 semantics against a corpus
+      def spans(t: String): Seq[String] = {
+        val toks = t.split(" ", -1)
+        (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
+      }
+      val corpusSpans = corpus.select("text").as[String].collect()
+        .flatMap(spans).toSet
+      val expected = batch.select("doc_id", "text").as[(Long, String)]
+        .collect().flatMap { case (id, text) =>
+          val flagged = spans(text).zipWithIndex
+            .collect { case (s, i0) if corpusSpans.contains(s) => i0 + 1L }
+          flagged.foldLeft(List.empty[(Long, Long, Long)]) {
+            case ((s, e, n) :: rest, i) if i == e - (k - 1) + 1 =>
+              (s, i + (k - 1), n + 1) :: rest
+            case (acc, i) => (i, i + (k - 1), 1L) :: acc
+          }.reverse.map { case (s, e, n) => (id, s, e, n) }
+        }.sortBy(r => (r._1, r._2))
+      val got = StreamingSpanGate.spanRanges(batch, spark, table)
+        .orderBy("doc_id", "start_tok")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(expected.nonEmpty && got.toSeq == expected.toSeq)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("sustained ingest: 24 triggers leave ZERO streaming state behind") {
     // the gate's contract at scale: per-doc aggregation lives inside
     // foreachBatch (batch-local), so a long-running admission stream
