@@ -31,7 +31,8 @@ object Bench {
     Seq("q20_minhash_signatures", "q21_lsh_candidates", "q22_jaccard_verify",
       "q23_simhash", "q24_simhash_pairs", "q32_dedup_keep_list",
       "q44_jaccard_scale", "q47_dedup_clusters", "q60_containment",
-      "q62_source_overlap", "q63_curation_funnel")
+      "q62_source_overlap", "q63_curation_funnel",
+      "q80_repeated_spans", "q81_dedup_span_ranges")
 
   private val reps = 3
 

@@ -386,15 +386,43 @@ object CorpusOps {
     * Both candidate tables are corpus-growing, so the joins are
     * hint-free: AQE broadcasts them while they fit (they do at every
     * test SF — repeated spans are by definition the rare tail). */
-  def repeatedSpans(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val hashed = docs.select(col("doc_id"),
-      explode(graft.functions.SpanHashes.span_hashes(col("text"), spanLen))
-        .as("sh"))
-    val candHashes = hashed.groupBy("sh")
+  /** Corpus-wide span-census artifacts, STAGED (read-through like the
+    * dedup signature chain): q80 and q81 both open with the identical
+    * heavy phase — one full-corpus pass for candidate hashes (df >= 2)
+    * and one for the affected-doc list — so paying it per query per
+    * consumer recomputed the corpus's dominant scan twice per caller.
+    * Outputs are the rare tail (repeated spans / docs holding one), so
+    * the staged tables are small; staging off ⇒ inline compute, shape
+    * unchanged. */
+  private def spanHashed(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .select(col("doc_id"),
+        explode(graft.functions.SpanHashes.span_hashes(col("text"), spanLen))
+          .as("sh"))
+
+  private[graft] def spanCandTable(spark: SparkSession, sfDir: String): DataFrame = {
+    def compute = spanHashed(spark, sfDir).groupBy("sh")
       .agg(countDistinct("doc_id").as("df"))
       .where(col("df") >= 2).select("sh")
-    val hitDocs = hashed.join(candHashes, "sh").select("doc_id").distinct()
+    Staging.root match {
+      case None => compute
+      case _    => Staging.readThrough(spark, sfDir, "span_cand")(compute)
+    }
+  }
+
+  private[graft] def spanDocsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    def compute = spanHashed(spark, sfDir)
+      .join(spanCandTable(spark, sfDir), "sh").select("doc_id").distinct()
+    Staging.root match {
+      case None => compute
+      case _    => Staging.readThrough(spark, sfDir, "span_docs")(compute)
+    }
+  }
+
+  def repeatedSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val candHashes = spanCandTable(spark, sfDir)
+    val hitDocs = spanDocsTable(spark, sfDir)
     val spans = docs.join(hitDocs, "doc_id")
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= spanLen)
@@ -449,13 +477,8 @@ object CorpusOps {
   def dedupSpanRanges(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val hashed = docs.select(col("doc_id"),
-      explode(graft.functions.SpanHashes.span_hashes(col("text"), spanLen))
-        .as("sh"))
-    val candHashes = hashed.groupBy("sh")
-      .agg(countDistinct("doc_id").as("df"))
-      .where(col("df") >= 2).select("sh")
-    val hitDocs = hashed.join(candHashes, "sh").select("doc_id").distinct()
+    val candHashes = spanCandTable(spark, sfDir)
+    val hitDocs = spanDocsTable(spark, sfDir)
     val wins = docs.join(hitDocs, "doc_id")
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= spanLen)

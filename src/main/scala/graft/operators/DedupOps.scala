@@ -168,6 +168,12 @@ object DedupOps {
             docSetsTable(spark, sfDir): Unit
           }) ++
           Seq(chain("contain") { containCandTable(spark, sfDir): Unit }) ++
+          // corpus span census (q80/q81 + the streaming gate's batch
+          // confirm path): cand hashes then the affected-doc list
+          Seq(chain("spans") {
+            CorpusOps.spanCandTable(spark, sfDir): Unit
+            CorpusOps.spanDocsTable(spark, sfDir): Unit
+          }) ++
           Seq(chain("keeper") { keeperTable(spark, sfDir): Unit }) ++
           // per-doc funnel stage-flags (q63): consumes the keeper and
           // verified tables read-through (the dir locks serialize it

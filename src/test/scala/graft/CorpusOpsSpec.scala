@@ -312,10 +312,15 @@ class CorpusOpsSpec extends SparkSpec {
     // the corpus-wide heavy phase must hash through the native
     // one-pass expression (4.7x over concat_ws assembly at 100x,
     // PERF.md §17) — span STRINGS are only ever assembled for docs
-    // that already hold a candidate hash
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("span_hashes"),
-      s"phase 1 must use the native window-hash expression:\n$plan")
+    // that already hold a candidate hash. With staging ON that phase
+    // lives inside the staged span_cand/span_docs build, so pin the
+    // UNSTAGED shape (the one a non-staging library consumer gets).
+    operators.DedupOps.withStagingRoot(None) {
+      val plan = CorpusOps.repeatedSpans(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("span_hashes"),
+        s"phase 1 must use the native window-hash expression:\n$plan")
+    }
   }
 
   test("q81: dedup span ranges match a driver-side brute force") {
