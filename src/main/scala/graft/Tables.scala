@@ -28,13 +28,21 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
       import org.apache.spark.sql.functions.expr
-      import org.apache.spark.sql.types.LongType
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      // All conversions go through raw epoch micros added to an NTZ
+      // epoch literal: `cast(... as timestamp_ntz)` from TimestampType
+      // renders in the SESSION timezone, so a non-UTC consumer session
+      // would see shifted events timestamps relative to the oracle.
+      // timestampadd over TIMESTAMP_NTZ never consults the session tz.
+      val epochNtz = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
       raw.schema("ts").dataType match {
         case LongType => // nanos surfaced as long → truncate to micros
           raw.withColumn("ts",
-            expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-        case _ =>        // already a timestamp type → just strip the zone
-          raw.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+            expr(s"timestampadd(MICROSECOND, ts div 1000, $epochNtz)"))
+        case TimestampNTZType => raw // already zone-free wall time
+        case _ => // instant type → UTC wall time, session-tz-independent
+          raw.withColumn("ts",
+            expr(s"timestampadd(MICROSECOND, unix_micros(ts), $epochNtz)"))
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }

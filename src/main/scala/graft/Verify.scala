@@ -8,7 +8,16 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.local("graft-verify")
     new java.io.File(outDir).mkdirs()
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmrf)
+      f.delete(): Unit
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Delete any prior output FIRST: if both the query and the
+      // sentinel write below fail (e.g. a filesystem/session-wide
+      // fault), a stale previous-round result dir must not survive to
+      // be compared as if it were this run's output.
+      rmrf(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -23,7 +32,12 @@ object Verify {
         try Seq(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}")
           .toDF("__query_failed")
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        catch { case _: Throwable => () }
+        catch { case e2: Throwable =>
+          // Missing dir now means FAILURE (prior output was deleted
+          // above); still say so loudly for the driver log.
+          System.err.println(
+            s"[verify] $name sentinel write ALSO failed: ${e2.getMessage}")
+        }
       }
       // queries persist() shared subtrees internally; don't let cached
       // blocks accumulate across the 30+ query loop

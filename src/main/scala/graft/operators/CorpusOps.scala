@@ -457,11 +457,15 @@ object CorpusOps {
 
   /** q81: per-document repeated-span REMOVAL RANGES — q80's census made
     * actionable (Lee et al.'s ExactSubstr dedup, expressed at window
-    * granularity): for each document, the maximal token-index ranges
-    * covered by `spanLen`-token sliding windows whose text occurs in
-    * >= 2 distinct documents. A curation pipeline subtracts these
-    * ranges from the doc instead of dropping the whole document — the
-    * span-level analogue of the keep-list.
+    * granularity): for each document, token-index ranges covered by
+    * `spanLen`-token sliding windows whose text occurs in >= 2
+    * distinct documents. Consecutive flagged windows merge into one
+    * island whenever their token spans OVERLAP (window indices differ
+    * by <= spanLen-1), so emitted ranges are pairwise DISJOINT per
+    * doc — summing end-start+1 over them counts each removed token
+    * exactly once. A curation pipeline subtracts these ranges from
+    * the doc instead of dropping the whole document — the span-level
+    * analogue of the keep-list.
     *
     * Scale shape — q80's two exact phases plus a bounded third:
     *   1. candidate hashes corpus-wide over 8-byte keys (native
@@ -470,10 +474,12 @@ object CorpusOps {
     *   2. affected docs re-derive span strings WITH their window
     *      index (narrow posexplode), string-exact re-check ndocs >= 2
     *      so a 61-bit collision can only add work, never a wrong row;
-    *   3. flagged window indices merge into maximal ranges per doc via
-    *      the index-minus-rank island id — the window function runs
-    *      over FLAGGED rows only (by definition the rare tail), with
-    *      per-doc partitions, never corpus-sized ones. */
+    *   3. flagged window indices merge into disjoint islands per doc
+    *      via a gap-threshold running sum (new island when the gap to
+    *      the previous flagged index exceeds spanLen-1) — the window
+    *      functions run over FLAGGED rows only (by definition the
+    *      rare tail), with per-doc partitions, never corpus-sized
+    *      ones. */
   def dedupSpanRanges(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
@@ -493,9 +499,12 @@ object CorpusOps {
       .agg(countDistinct("doc_id").as("ndocs"))
       .where(col("ndocs") >= 2).select("span")
     val flagged = wins.join(repSpans, "span").select("doc_id", "i")
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
     flagged
-      .withColumn("g", col("i") -
-        row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+      .withColumn("brk",
+        when(col("i") - lag("i", 1).over(byDoc) <= spanLen - 1, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("g", sum("brk").over(byDoc))
       .groupBy("doc_id", "g")
       .agg(min("i").as("start_tok"),
         (max("i") + lit(spanLen - 1)).as("end_tok"),
@@ -518,10 +527,15 @@ object CorpusOps {
        |  SELECT span FROM sp GROUP BY span
        |  HAVING count(DISTINCT doc_id) >= 2),
        |fl AS (SELECT doc_id, i FROM sp JOIN rep USING (span)),
+       |brk AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+       |              <= ${k - 1} THEN 0 ELSE 1 END AS b
+       |  FROM fl),
        |isl AS (
        |  SELECT doc_id, i,
-       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
-       |  FROM fl)
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g
+       |  FROM brk)
        |SELECT doc_id, min(i) AS start_tok, max(i) + ${k - 1} AS end_tok,
        |  count(*) AS n_windows
        |FROM isl GROUP BY doc_id, g

@@ -382,7 +382,12 @@ object DedupOps {
     // delegated to the hash: a 64-bit collision can only ADD a
     // candidate row, and the exact band-slice recheck below (on the
     // signature arrays the est stage attaches anyway) removes any pair
-    // that shares no true band — output identical to string banding.
+    // that shares no true band — output identical to string banding
+    // MODULO the bucket cap: a cross-band xxhash64 collision (~2^-64
+    // per bucket pair) could merge two buckets, trip maxBucket, and
+    // drop true pairs the recheck cannot restore. If byte-identical
+    // output under capping must be guaranteed, widen the key with the
+    // band index; at 2^-64 the trade is not worth the fatter shuffle.
     val bandHashExpr = {
       // element_at per rank instead of slice(): the slice form
       // allocates a fresh 8-long array per band per row (16 per row at

@@ -76,15 +76,18 @@ object RelationalOps {
       |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
-  /** Multi-way dimension (lookup) join — JN2 analogue. Dimension
-    * tables are explicitly broadcast: at 100 TB the fact side streams
-    * through map-side hash joins with zero shuffle of the big table. */
+  /** Multi-way dimension (lookup) join — JN2 analogue. nation/region
+    * are explicitly broadcast (bounded at 25/5 rows forever); customer
+    * GROWS with scale factor (SF×150k rows — tens of GB at 100 TB), so
+    * it carries NO hint: AQE broadcasts it while it fits
+    * autoBroadcastJoinThreshold and falls back to a shuffled hash join
+    * beyond, instead of a forced hint OOMing the driver. */
   def dimJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
     val r = Tables.region(spark, sfDir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -592,9 +595,11 @@ object RelationalOps {
     * are per-part (bounded by suppliers-per-part, never stratum-
     * sized). Unit cost is a per-row IEEE division + MIN, both
     * order-independent, so the doubles compare bit-exact cross-engine.
-    * Scale shape: cost is one hash-agg of lineitem; supplier→nation→
-    * region is a broadcast chain (bounded dims); part filter prunes
-    * before the join. */
+    * Scale shape: cost is one hash-agg of lineitem; nation/region are
+    * broadcast inside the `eu` build (bounded at 25/5 rows), but `eu`
+    * itself derives from supplier (SF×10k rows — grows with the
+    * corpus) so it carries NO hint: AQE broadcasts it while small and
+    * shuffle-joins beyond. The part filter prunes before the join. */
   def minCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val cost = Tables.lineitem(spark, sfDir)
       .groupBy("l_partkey", "l_suppkey")
@@ -609,7 +614,7 @@ object RelationalOps {
     val small = Tables.part(spark, sfDir)
       .where(col("p_size") <= 15).select("p_partkey", "p_name")
     cost
-      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .join(eu, col("l_suppkey") === col("s_suppkey"))
       .join(small, col("l_partkey") === col("p_partkey"))
       .withColumn("min_cost",
         min("unit_cost").over(Window.partitionBy("l_partkey")))

@@ -89,8 +89,10 @@ object StreamingSpanGate {
 
   /** Removal RANGES per document — the actionable form of the gate
     * (batch analogue: `CorpusOps.dedupSpanRanges`/q81): for each doc,
-    * the maximal 1-based token-index ranges covered by windows whose
-    * hash matches a corpus span. A pipeline strips the ranges and
+    * 1-based token-index ranges covered by windows whose hash matches
+    * a corpus span. Flagged windows merge into one island whenever
+    * their token spans overlap (indices differ by <= k-1), so ranges
+    * are pairwise DISJOINT per doc. A pipeline strips the ranges and
     * admits the rest of the doc instead of rejecting it whole.
     *
     * Same micro-batch-local shape as [[spanMatches]] (run inside
@@ -110,9 +112,12 @@ object StreamingSpanGate {
     val flagged = probes
       .join(spark.table(table), col("sh") === col("csh"))
       .select("doc_id", "i")
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
     flagged
-      .withColumn("g", col("i") -
-        row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+      .withColumn("brk",
+        when(col("i") - lag("i", 1).over(byDoc) <= k - 1, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("g", sum("brk").over(byDoc))
       .groupBy("doc_id", "g")
       .agg(min("i").as("start_tok"), (max("i") + lit(k - 1)).as("end_tok"),
         count(lit(1)).as("n_windows"))

@@ -343,9 +343,10 @@ class CorpusOpsSpec extends SparkSpec {
       val flagged = (0 to toks.length - k).filter { i =>
         occ(toks.slice(i, i + k).mkString(" ")).size >= 2
       }.map(_ + 1L) // 1-based
-      // merge consecutive indices into islands
+      // merge indices whose token spans overlap (gap <= k-1, i.e.
+      // new start i is within the previous range) into islands
       flagged.foldLeft(List.empty[(Long, Long, Long)]) {
-        case ((s, e, n) :: rest, i) if i == e - (k - 1) + 1 =>
+        case ((s, e, n) :: rest, i) if i <= e =>
           (s, i + (k - 1), n + 1) :: rest
         case (acc, i) => (i, i + (k - 1), 1L) :: acc
       }.reverse.map { case (s, e, n) => (id, s, e, n) }
@@ -354,10 +355,16 @@ class CorpusOpsSpec extends SparkSpec {
     val got = CorpusOps.dedupSpanRanges(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == expected.toSeq)
-    // ranges must be windows-covered: end - start + 1 >= k, and the
-    // window count must equal the range's window span
+    // ranges are windows-covered (span >= k), hold no more flagged
+    // windows than positions allow, and are pairwise DISJOINT per doc
     got.foreach { case (_, s, e, n) =>
-      assert(e - s + 1 >= k && n == e - s + 1 - (k - 1))
+      assert(e - s + 1 >= k && n >= 1 && n <= e - s + 1 - (k - 1))
+    }
+    got.groupBy(_._1).values.foreach { rs =>
+      rs.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1)
+        case _ =>
+      }
     }
   }
 }

@@ -79,8 +79,9 @@ class StreamingSpanGateSpec extends SparkSpec {
         .collect().flatMap { case (id, text) =>
           val flagged = spans(text).zipWithIndex
             .collect { case (s, i0) if corpusSpans.contains(s) => i0 + 1L }
+          // merge on token-span overlap (gap <= k-1) → disjoint ranges
           flagged.foldLeft(List.empty[(Long, Long, Long)]) {
-            case ((s, e, n) :: rest, i) if i == e - (k - 1) + 1 =>
+            case ((s, e, n) :: rest, i) if i <= e =>
               (s, i + (k - 1), n + 1) :: rest
             case (acc, i) => (i, i + (k - 1), 1L) :: acc
           }.reverse.map { case (s, e, n) => (id, s, e, n) }

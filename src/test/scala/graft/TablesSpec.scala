@@ -32,4 +32,21 @@ class TablesSpec extends SparkSpec {
       .as[String].head()
     assert(got == "2024-01-01 00:00:00.000000", got)
   }
+
+  test("events.ts is identical under a non-UTC session timezone") {
+    // A library consumer with session tz != UTC must see the same UTC
+    // wall-clock as the DuckDB oracle: the normalization goes through
+    // raw epoch micros + an NTZ epoch literal, never a session-tz cast.
+    import spark.implicits._
+    val utc = Tables.events(spark, sf).select("event_id", "ts")
+      .as[(Long, java.time.LocalDateTime)].collect().sortBy(_._1).take(100)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu") // +05:45
+      val kat = Tables.events(spark, sf).select("event_id", "ts")
+        .as[(Long, java.time.LocalDateTime)].collect().sortBy(_._1).take(100)
+      assert(kat.toSeq == utc.toSeq,
+        "events.ts shifted under a non-UTC session timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
