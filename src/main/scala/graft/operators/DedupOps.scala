@@ -220,11 +220,30 @@ object DedupOps {
 
   // ------------------------------------------------------------ signatures
 
-  private def signaturesFrom(sh: DataFrame, p: MinHashParams): DataFrame = {
+  /** Aggregate-form signatures (explode → numHashes min() aggs) —
+    * retained as the bit-parity REFERENCE for [[signaturesOf]] (the
+    * production path) and its spec; not on any hot path. */
+  private[graft] def signaturesFrom(sh: DataFrame, p: MinHashParams): DataFrame = {
     val aggs = (0 until p.numHashes).map { i =>
       min(expr(s"(${coeffA(i)} * h + ${coeffB(i)}) % $P")).as(s"mh$i")
     }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One-pass narrow signatures via the native
+    * [[graft.functions.MinHashSig]] expression: the whole signature is
+    * computed inside the documents scan — no shingle explode, no
+    * (numHashes+1)-column hash aggregate, no exchange. Bit-identical
+    * to [[signaturesFrom]] (spec-pinned); docs with < 2 tokens have no
+    * shingles and are absent, matching the groupBy form. */
+  private[graft] def signaturesOf(docs: DataFrame, p: MinHashParams): DataFrame = {
+    val unpacked = col("doc_id") +:
+      (0 until p.numHashes).map(i => col("__sig").getItem(i).as(s"mh$i"))
+    docs
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhash_sig(col("text"), p.numHashes).as("__sig"))
+      .where(size(col("__sig")) > 0)
+      .select(unpacked: _*)
   }
 
   /** Signature table, staged (or persist()ed when staging is off).
@@ -236,16 +255,16 @@ object DedupOps {
   private def sigTable(spark: SparkSession, sfDir: String, p: MinHashParams): DataFrame =
     stagingRoot match {
       case None =>
-        signaturesFrom(computeShingles(spark, sfDir), p)
+        signaturesOf(Tables.documents(spark, sfDir), p)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case _ =>
         staged(spark, sfDir, s"sig_h${p.numHashes}")(
-          signaturesFrom(shingleTable(spark, sfDir), p))
+          signaturesOf(Tables.documents(spark, sfDir), p))
     }
 
   /** MinHash signatures: mh_i = min over shingles of (a_i*h + b_i) % P.
-    * One hash-aggregate — map-side partial min, shuffle carries one
-    * row per doc. */
+    * One narrow pass over the documents scan (native MinHashSig
+    * expression) — zero exchange. */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     minhashSignatures(spark, sfDir, defaultParams)
 
@@ -307,7 +326,7 @@ object DedupOps {
     * library entry for corpora not staged under a testdata dir. */
   def minhashSignaturesOf(docs: DataFrame,
                           p: MinHashParams = defaultParams): DataFrame =
-    signaturesFrom(shinglesOf(docs), p)
+    signaturesOf(docs, p)
 
   /** LSH candidates over an arbitrary `(doc_id, text)` frame — the
     * library entry for corpora not staged under a testdata dir; no
@@ -316,7 +335,7 @@ object DedupOps {
                       p: MinHashParams = defaultParams,
                       g: BandGuard = BandGuard.default): DataFrame =
     lshCandidatesFrom(
-      signaturesFrom(shinglesOf(docs), p)
+      signaturesOf(docs, p)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       p, g)
 

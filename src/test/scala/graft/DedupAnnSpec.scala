@@ -21,6 +21,38 @@ class DedupAnnSpec extends SparkSpec {
     assert(as.take(8) == DedupOps.A && bs.take(8) == DedupOps.B)
   }
 
+  test("native one-pass signatures are bit-identical to the aggregate form") {
+    // the production path (MinHashSig narrow map) against the
+    // explode->groupBy reference it replaced, both presets, a corpus
+    // large enough to exercise duplicates/edge docs
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    for (p <- Seq(DedupOps.defaultParams, DedupOps.scaleParams)) {
+      val narrow = DedupOps.signaturesOf(docs, p)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      val agg = DedupOps.signaturesFrom(DedupOps.shinglesOf(docs), p)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(narrow.length == agg.length && narrow.sameElements(agg),
+        s"signature mismatch at h${p.numHashes}")
+    }
+    // degenerate docs: < 2 tokens are absent from BOTH forms
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "one"), (3L, "two words"), (4L, "a a a"))
+      .toDF("doc_id", "text")
+    val n = DedupOps.signaturesOf(edge, DedupOps.defaultParams)
+      .select("doc_id").as[Long].collect().sorted
+    assert(n.toSeq == Seq(3L, 4L))
+  }
+
+  test("one-pass signature plan is a narrow map: no Exchange, no Aggregate") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val plan = DedupOps.signaturesOf(docs, DedupOps.scaleParams)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Aggregate"),
+      s"signatures must never leave the documents scan's partition:\n$plan")
+    assert(plan.contains("minhash_sig"), s"native expression missing:\n$plan")
+  }
+
   test("parameterized minhash widens the signature and still bounds est_jaccard") {
     val p = MinHashParams(16, 8)
     val sig = DedupOps.minhashSignatures(spark, sf, p)
