@@ -1258,7 +1258,10 @@ object DedupOps {
     * shingles of ±1 depending on bit j of the shingle hash. Computed
     * as 60 conditional-sum aggregates — no row explosion, single
     * shuffle on doc_id. */
-  private def simhashFrom(sh: DataFrame): DataFrame = {
+  /** Aggregate-form simhash (explode → 60 ±1 bit-sum aggs) — retained
+    * as the bit-parity REFERENCE for [[simhashOf]] (the production
+    * path) and its spec; not on any hot path. */
+  private[graft] def simhashFrom(sh: DataFrame): DataFrame = {
     val bitSums = (0 until 60).map { j =>
       // branch-free ±1: (bit*2 - 1); ~25% faster than a CASE per bit
       sum(expr(s"(shiftright(h60, $j) & 1) * 2 - 1")).as(s"s$j")
@@ -1272,12 +1275,22 @@ object DedupOps {
       .select("doc_id", "simhash")
   }
 
+  /** One-pass narrow simhash via the native
+    * [[graft.functions.SimHashDoc]] expression — computed inside the
+    * documents scan, zero exchange; bit-identical to [[simhashFrom]]
+    * (spec-pinned). Docs with < 2 tokens return the -1 sentinel and
+    * are filtered, matching the groupBy form's absence. */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.SimHashDoc.simhash_doc(col("text")).as("simhash"))
+      .where(col("simhash") >= 0)
+
   /** Simhash table, staged (or recomputed when staging is off). */
   private def simhashTable(spark: SparkSession, sfDir: String): DataFrame =
     stagingRoot match {
-      case None => simhashFrom(computeShingles(spark, sfDir))
+      case None => simhashOf(Tables.documents(spark, sfDir))
       case _ => staged(spark, sfDir, "simhash")(
-        simhashFrom(shingleTable(spark, sfDir)))
+        simhashOf(Tables.documents(spark, sfDir)))
     }
 
   def simhash(spark: SparkSession, sfDir: String): DataFrame =

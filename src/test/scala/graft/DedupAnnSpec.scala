@@ -53,6 +53,26 @@ class DedupAnnSpec extends SparkSpec {
     assert(plan.contains("minhash_sig"), s"native expression missing:\n$plan")
   }
 
+  test("native one-pass simhash is bit-identical to the aggregate form") {
+    // ±1 bit sums are NOT duplicate-insensitive: this corpus plus a
+    // crafted doc with repeated bigrams exercises the distinct-by-
+    // string contract that separates simhash from minhash
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+      .union(Seq(
+        (900001L, "a b a b a b c"), // dup bigrams: "a b" x3, "b a" x2
+        (900002L, "x y"), (900003L, "solo"), (900004L, "")).toDF("doc_id", "text"))
+    val narrow = DedupOps.simhashOf(docs)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val agg = DedupOps.simhashFrom(DedupOps.shinglesOf(docs))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(narrow.length == agg.length && narrow.sameElements(agg))
+    val plan = DedupOps.simhashOf(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Aggregate"),
+      s"simhash must never leave the documents scan's partition:\n$plan")
+  }
+
   test("parameterized minhash widens the signature and still bounds est_jaccard") {
     val p = MinHashParams(16, 8)
     val sig = DedupOps.minhashSignatures(spark, sf, p)
