@@ -84,6 +84,17 @@ object Bench {
     val spark = GraftSession.local("graft-bench")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    // round-opening schema tripwire (VERDICT r12 #7): a physical-type
+    // drift in the testdata must surface as a loud, incomparable
+    // artifact (non-empty errors map), never as silently-shifted query
+    // numbers — the events.ts nanos→micros flip cost round 11.
+    val drift = try tools.SchemaTripwire.check(sfDir)
+                catch { case e: Throwable => Seq(e.toString.take(160)) }
+    if (drift.nonEmpty) {
+      drift.foreach(d => println(s"[tripwire] DEVIATION $d"))
+      errors("schema_tripwire") = drift.mkString("; ").take(480)
+    }
+
     /** Median-of-`reps` seconds for `body`; failures recorded under
       * `name` instead of silently counting as elapsed time. */
     def measure(name: String)(body: => Unit): Double = {
