@@ -1053,7 +1053,23 @@ object DedupOps {
     * so the first element's slack absorbs k-1), and the pair grouping
     * replaces the dedup the per-element form needed anyway. A
     * qualifying pair always keeps its first shared element in the
-    * join, so recall stays exact. */
+    * join, so recall stays exact.
+    *
+    * The PPJoin LENGTH-RATIO bound is the `x.n <= y.n / t` filter
+    * below (since r8): Jaccard >= t forces min(na,nb) >= t*max(na,nb),
+    * and Catalyst evaluates it inside the join before the aggregate.
+    * Promoting the length into the equi-key (geometric buckets of
+    * ratio 1/t; a qualifying pair spans <= 1 bucket, smaller side
+    * probes {b, b+1}) was built and MEASURED AT 100x — byte-identical
+    * 58.7M candidates, zero time win (r13) — because enumeration is
+    * not where the time goes: the 392M h60-collision rows cost only a
+    * codegen'd predicate each, the length filter kills 64% of them,
+    * and the surviving 143M-row aggregate + 58.7M-pair verify
+    * hand-off (both unchanged by bucketing) carry the cost. The
+    * per-bucket products are uniform (max 65,792 — no skewed task),
+    * so the stage is enumeration-optimal for this corpus; revisit
+    * bucketing only for corpora whose shingle buckets mix widely
+    * different lengths AND whose enumeration dominates the profile. */
   private[graft] def candidatesFrom(prefix: DataFrame, t: Double): DataFrame = {
     val tL = loosened(t)
     val larger = col("x.n") > col("y.n") ||
