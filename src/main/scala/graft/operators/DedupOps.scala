@@ -136,6 +136,24 @@ object DedupOps {
       case someRoot =>
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
+        // Driver-memory guard (r13, VERDICT r12 #4): cap BOTH broadcast
+        // thresholds for the staging window. The thresholds compare
+        // against COMPRESSED shuffle bytes, and the dedup chains'
+        // intermediates (sorted monotone id-pair frames) compress so
+        // well that a sub-10 MB stage can explode ~100× into an
+        // in-heap hash relation — an 8 GiB driver died materializing a
+        // ~1 GiB broadcast allocation with nine chains' sort/agg
+        // buffers alive (bench 100× at SPARK_DRIVER_MEM=8g: the exact
+        // r12 STAGE_MATERIALIZATION failure, reproduced). 1 MiB caps
+        // the worst-case expansion near ~100 MB per build; the staging
+        // chains are scan/agg-bound, so the lost broadcasts cost
+        // little (A/B in PERF §28). Query-time joins outside stageAll
+        // keep the session defaults (q79's verify-broadcast win at
+        // 16 GiB is a QUERY-time plan).
+        val bcastKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        val bcastSaved = bcastKeys.map(k => k -> spark.conf.getOption(k))
+        bcastKeys.foreach(spark.conf.set(_, "1m"))
         shingleTable(spark, sfDir) // shared root of the DAG
         val pool = java.util.concurrent.Executors.newFixedThreadPool(presets.size + 2)
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -182,7 +200,13 @@ object DedupOps {
           (if (ivf) Seq(chain("ivf") { EmbeddingOps.stageIvf(spark, sfDir): Unit })
            else Nil)
         try Await.result(Future.sequence(chains), Duration.Inf): Unit
-        finally pool.shutdown()
+        finally {
+          pool.shutdown()
+          bcastSaved.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None)    => spark.conf.unset(k)
+          }
+        }
     }
 
   // ------------------------------------------------------------- shingling
