@@ -36,6 +36,17 @@ object Bench {
 
   private val reps = 3
 
+  /** An artifact is comparable only when no query failed AND the
+    * errors map is empty. Per-query failures already raise n_failed,
+    * but a STAGE failure or a schema-tripwire hit leaves every query
+    * "green" while silently shifting what was measured (staged queries
+    * degrade to unstaged paths, +73 s at 100×; off-baseline inputs
+    * aren't the baseline's workload) — those must invalidate the whole
+    * run, loudly (VERDICT r13 #2). */
+  private[graft] def artifactValid(
+      nFailed: Int, errors: collection.Map[String, String]): Boolean =
+    nFailed == 0 && errors.isEmpty
+
   /** First line of /proc/loadavg (empty string off-Linux) — captured at
     * run start and end so a contended artifact self-identifies. */
   private def loadavg(): String =
@@ -185,8 +196,14 @@ object Bench {
     // n_failed makes any such run self-identify as incomparable.
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
+    // ANY recorded error — not just per-query failures — invalidates
+    // the artifact (VERDICT r13 #2): a staging OOM leaves n_failed at 0
+    // while every staged query silently degrades to its unstaged path
+    // (+73 s at 100×), and a tripwire hit means the inputs aren't the
+    // baseline's. Same loud-failure doctrine as the r12 events.ts gate.
+    val valid = artifactValid(nFailed, errors)
     def line(fmt: Double => String, extra: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_failed":$nFailed,"queries":${toJson(results, fmt)}$extra,$guardJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_failed":$nFailed,"valid":$valid,"queries":${toJson(results, fmt)}$extra,$guardJson,"errors":$errJson,"sf":"$sfDir"}"""
     // full-precision artifact (incl. the unstaged attribution pass) on
     // disk; the round artifact captures only the last ~2000 chars of
     // stdout, which truncated the r7/r8 full-name line mid-JSON
@@ -204,7 +221,7 @@ object Bench {
     def short(name: String): String =
       if (name.matches("q\\d+_.*")) name.takeWhile(_ != '_') else name
     val compact = results.map { case (k, v) => short(k) -> v }
-    println(s"""{"metric":"total","value":${f4(total)},"unit":"sec","reps":$reps,"n_failed":$nFailed,"queries":${
+    println(s"""{"metric":"total","value":${f4(total)},"unit":"sec","reps":$reps,"n_failed":$nFailed,"valid":$valid,"queries":${
       toJson(compact, v => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)))
     },$guardJson,"errors":$errJson,"sf":"$sfDir","full":"$out"}""")
     spark.stop()

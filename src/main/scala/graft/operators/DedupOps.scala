@@ -150,64 +150,94 @@ object DedupOps {
         // little (A/B in PERF §28). Query-time joins outside stageAll
         // keep the session defaults (q79's verify-broadcast win at
         // 16 GiB is a QUERY-time plan).
+        //
+        // The cap mutates SESSION-global conf, so two invariants hold
+        // (ADVICE r13): (a) one stageAll per session at a time — a
+        // concurrent/reentrant call would snapshot the already-capped
+        // value and restore it permanently; (b) EVERYTHING that runs
+        // under the cap (incl. the shared shingle root, whose failure
+        // class this guard targets) sits inside the try whose finally
+        // restores the snapshot, so a staging failure can't leak
+        // 1 MiB thresholds into every later query-time plan.
+        require(beginStaging(spark),
+          "stageAll is already running on this SparkSession; " +
+            "concurrent staging would corrupt the broadcast-threshold snapshot")
         val bcastKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
           "spark.sql.adaptive.autoBroadcastJoinThreshold")
         val bcastSaved = bcastKeys.map(k => k -> spark.conf.getOption(k))
-        bcastKeys.foreach(spark.conf.set(_, "1m"))
-        shingleTable(spark, sfDir) // shared root of the DAG
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(presets.size + 2)
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        // Staging's root override is thread-local; re-pin it (and a
-        // distinguishable job group) inside each worker thread
-        def chain(tag: String)(body: => Unit): Future[Unit] = Future {
-          Staging.withRoot(someRoot) {
-            spark.sparkContext.setJobGroup(s"graft-stage-$tag", tag, false)
-            val t0 = System.nanoTime()
-            try body finally {
-              spark.sparkContext.clearJobGroup()
-              // per-chain wall seconds to stderr: chains run as
-              // concurrent jobs, so the bench's stage_dedup total says
-              // nothing about WHICH chain dominates at a given SF
-              System.err.println(
-                f"[stage] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        var pool: java.util.concurrent.ExecutorService = null
+        try {
+          bcastKeys.foreach(spark.conf.set(_, "1m"))
+          shingleTable(spark, sfDir) // shared root of the DAG
+          pool = java.util.concurrent.Executors.newFixedThreadPool(presets.size + 2)
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          // Staging's root override is thread-local; re-pin it (and a
+          // distinguishable job group) inside each worker thread
+          def chain(tag: String)(body: => Unit): Future[Unit] = Future {
+            Staging.withRoot(someRoot) {
+              spark.sparkContext.setJobGroup(s"graft-stage-$tag", tag, false)
+              val t0 = System.nanoTime()
+              try body finally {
+                spark.sparkContext.clearJobGroup()
+                // per-chain wall seconds to stderr: chains run as
+                // concurrent jobs, so the bench's stage_dedup total says
+                // nothing about WHICH chain dominates at a given SF
+                System.err.println(
+                  f"[stage] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+              }
             }
           }
-        }
-        val chains =
-          // candTable builds its sigTable dependency read-through; NOT
-          // stageSignatures, which would also rebuild simhash in every
-          // preset chain and serialize them on its table lock
-          presets.map(p => chain(s"minhash-h${p.numHashes}") {
-            verifiedTable(spark, sfDir, p): Unit // builds sig + cand read-through
-          }) ++
-          Seq(chain("simhash") { simhashTable(spark, sfDir): Unit }) ++
-          Seq(chain("prefix") {
-            prefixTable(spark, sfDir, prefixThreshold): Unit
-            docSetsTable(spark, sfDir): Unit
-          }) ++
-          Seq(chain("contain") { containCandTable(spark, sfDir): Unit }) ++
-          // corpus span census (q80/q81 + the streaming gate's batch
-          // confirm path): cand hashes then the affected-doc list
-          Seq(chain("spans") {
-            CorpusOps.spanCandTable(spark, sfDir): Unit
-            CorpusOps.spanDocsTable(spark, sfDir): Unit
-          }) ++
-          Seq(chain("keeper") { keeperTable(spark, sfDir): Unit }) ++
-          // per-doc funnel stage-flags (q63): consumes the keeper and
-          // verified tables read-through (the dir locks serialize it
-          // behind the chains building them) plus the q51/q48 subtrees
-          Seq(chain("flags") { CorpusOps.stageFlagsTable(spark, sfDir): Unit }) ++
-          (if (ivf) Seq(chain("ivf") { EmbeddingOps.stageIvf(spark, sfDir): Unit })
-           else Nil)
-        try Await.result(Future.sequence(chains), Duration.Inf): Unit
-        finally {
-          pool.shutdown()
+          val chains =
+            // candTable builds its sigTable dependency read-through; NOT
+            // stageSignatures, which would also rebuild simhash in every
+            // preset chain and serialize them on its table lock
+            presets.map(p => chain(s"minhash-h${p.numHashes}") {
+              verifiedTable(spark, sfDir, p): Unit // builds sig + cand read-through
+            }) ++
+            Seq(chain("simhash") { simhashTable(spark, sfDir): Unit }) ++
+            Seq(chain("prefix") {
+              prefixTable(spark, sfDir, prefixThreshold): Unit
+              docSetsTable(spark, sfDir): Unit
+            }) ++
+            Seq(chain("contain") { containCandTable(spark, sfDir): Unit }) ++
+            // corpus span census (q80/q81 + the streaming gate's batch
+            // confirm path): cand hashes then the affected-doc list
+            Seq(chain("spans") {
+              CorpusOps.spanCandTable(spark, sfDir): Unit
+              CorpusOps.spanDocsTable(spark, sfDir): Unit
+            }) ++
+            Seq(chain("keeper") { keeperTable(spark, sfDir): Unit }) ++
+            // per-doc funnel stage-flags (q63): consumes the keeper and
+            // verified tables read-through (the dir locks serialize it
+            // behind the chains building them) plus the q51/q48 subtrees
+            Seq(chain("flags") { CorpusOps.stageFlagsTable(spark, sfDir): Unit }) ++
+            (if (ivf) Seq(chain("ivf") { EmbeddingOps.stageIvf(spark, sfDir): Unit })
+             else Nil)
+          Await.result(Future.sequence(chains), Duration.Inf): Unit
+        } finally {
+          if (pool != null) pool.shutdown()
           bcastSaved.foreach {
             case (k, Some(v)) => spark.conf.set(k, v)
             case (k, None)    => spark.conf.unset(k)
           }
+          endStaging(spark)
         }
     }
+
+  /** Sessions with a stageAll in flight — guards the session-global
+    * broadcast-threshold save/cap/restore against concurrent or
+    * reentrant staging on one session (ADVICE r13). */
+  private val stagingSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Atomically mark a staging run in flight on `spark`; false if one
+    * already is (the caller must NOT proceed). */
+  private[graft] def beginStaging(spark: SparkSession): Boolean =
+    stagingSessions.add(spark)
+
+  private[graft] def endStaging(spark: SparkSession): Unit =
+    stagingSessions.remove(spark): Unit
 
   // ------------------------------------------------------------- shingling
 
@@ -1356,7 +1386,11 @@ object DedupOps {
     * Same LSH-style scale bound: no O(n²) comparison. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = stagingRoot match {
-      case None => simhashFrom(computeShingles(spark, sfDir))
+      // unstaged: the same native one-pass SimHashDoc the staged table
+      // uses (VERDICT r13 #3 — the aggregate form is a spec-parity
+      // reference only); persisted because the band/star split below
+      // consumes the signature frame more than once
+      case None => simhashOf(Tables.documents(spark, sfDir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case _ => simhashTable(spark, sfDir)
     }

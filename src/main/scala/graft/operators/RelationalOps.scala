@@ -470,13 +470,13 @@ object RelationalOps {
     * [[percentilesBy]]'s distinct-value table would be as large as the
     * input (every value unique) and its per-group cumulative window a
     * single-task sort again. Range-bucketed rank selection instead:
-    *   1. per-group (n, lo, hi) — one tiny aggregate, broadcast back;
+    *   1. per-group (n, lo, hi) — one tiny aggregate, joined back;
     *   2. each row maps to a value-range bucket (monotone in the
     *      value, so bucket order IS value order); per-bucket counts —
     *      a hash aggregate of at most `buckets` rows per group;
     *   3. the bucket prefix-sum locates, for every target rank
     *      ceil(q*n), WHICH bucket holds it and the residual rank
-    *      inside that bucket (groups x qs rows, broadcast);
+    *      inside that bucket (groups x qs rows, joined back);
     *   4. only target-bucket rows are revisited, and the residual
     *      rank is selected inside them by the same distinct-value
     *      cumulative count [[percentilesBy]] uses.
@@ -493,7 +493,15 @@ object RelationalOps {
     * (not the whole group), so the default stays 1. Exact for any
     * distribution at either level — bucketing only NARROWS where the
     * rank is searched, the selection itself is by count, never
-    * interpolation. */
+    * interpolation.
+    *
+    * The small side of every join-back (stats, targets) is one row per
+    * group (× qs) — tiny for the declared queries (≤5 groups) but
+    * unbounded for a library caller grouping on a high-cardinality
+    * key, so none of them carries a FORCED broadcast hint (VERDICT r13
+    * watch item): AQE sees the aggregate's actual runtime size and
+    * broadcasts while it fits, and a million-group call degrades to a
+    * shuffle join instead of a driver OOM. */
   def percentilesByBucketed(df: DataFrame, groupCol: String, valueCol: String,
                             qs: Seq[Double], buckets: Int = 4096,
                             levels: Int = 1): DataFrame = {
@@ -502,7 +510,7 @@ object RelationalOps {
       .select(col(groupCol), col(valueCol).cast("double").as("__v"))
     val stats = vals.groupBy(groupCol).agg(count(lit(1)).as("__n"),
       min("__v").as("__lo"), max("__v").as("__hi"))
-    val bucketed = vals.join(broadcast(stats), groupCol)
+    val bucketed = vals.join(stats, groupCol)
       .withColumn("__b", when(col("__hi") === col("__lo"), lit(0))
         .otherwise(least(lit(buckets - 1),
           floor((col("__v") - col("__lo")) / (col("__hi") - col("__lo"))
@@ -510,7 +518,7 @@ object RelationalOps {
     val hist = bucketed.groupBy(col(groupCol), col("__b"))
       .agg(count(lit(1)).as("__c"))
     val cum = hist
-      .join(broadcast(stats.select(col(groupCol), col("__n"))), groupCol)
+      .join(stats.select(col(groupCol), col("__n")), groupCol)
       .withColumn("__cum",
         sum("__c").over(Window.partitionBy(groupCol).orderBy(col("__b"))))
     val targets = cum
@@ -524,7 +532,7 @@ object RelationalOps {
     // rows of the TARGET buckets only, tagged with the residual rank;
     // every (group, q) names exactly one target bucket
     val tRows = bucketed
-      .join(broadcast(targets),
+      .join(targets,
         col(groupCol) === col("__g") && col("__b") === col("__tb"))
       .select(col(groupCol), col("__q"), col("__rr"), col("__v"))
     // level 2: the same histogram → prefix-sum → residual-rank
@@ -535,7 +543,7 @@ object RelationalOps {
       else {
         val tStats = tRows.groupBy(groupCol, "__q")
           .agg(min("__v").as("__lo2"), max("__v").as("__hi2"))
-        val sub = tRows.join(broadcast(tStats), Seq(groupCol, "__q"))
+        val sub = tRows.join(tStats, Seq(groupCol, "__q"))
           .withColumn("__b2", when(col("__hi2") === col("__lo2"), lit(0))
             .otherwise(least(lit(buckets - 1),
               floor((col("__v") - col("__lo2")) /
@@ -550,7 +558,7 @@ object RelationalOps {
           .select(col(groupCol).as("__g2"), col("__q").as("__q2"),
             col("__b2").as("__tb2"),
             (col("__rr") - (col("__cum") - col("__c"))).as("__rr2"))
-        sub.join(broadcast(targets2),
+        sub.join(targets2,
             col(groupCol) === col("__g2") && col("__q") === col("__q2") &&
             col("__b2") === col("__tb2"))
           .select(col(groupCol), col("__q"), col("__rr2").as("__rr"), col("__v"))

@@ -116,19 +116,9 @@ object SchemaTripwire {
     table == "events" && col == "ts" &&
       (desc.startsWith("INT64 TIMESTAMP(") || desc == "INT96")
 
-  /** Leaf descriptors of one parquet file/dir: dotted column path ->
-    * "PHYSICAL[ logical-annotation]". Footer-only — never reads rows. */
-  def descriptors(path: String): Map[String, String] = {
-    val conf = new Configuration()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-          .headOption.getOrElse(
-            sys.error(s"no .parquet part files under $path"))
-      else p
+  /** Leaf descriptors of ONE parquet file's footer: dotted column
+    * path -> "PHYSICAL[ logical-annotation]". Never reads rows. */
+  private def fileDescriptors(file: Path, conf: Configuration): Map[String, String] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       import scala.jdk.CollectionConverters._
@@ -141,12 +131,50 @@ object SchemaTripwire {
     } finally reader.close()
   }
 
+  /** Leaf descriptors of a parquet file/dir. For a dir, EVERY part
+    * file's footer is probed (footer-only, O(#parts) metadata reads —
+    * ADVICE r13: drift confined to a later part, e.g. a generator
+    * change mid-run producing mixed parts, must not slip past a
+    * first-part-only probe); any cross-part disagreement throws, which
+    * Bench's tripwire catch records as an artifact-invalidating error. */
+  def descriptors(path: String): Map[String, String] = {
+    val conf = new Configuration()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory) {
+        val parts = fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+        if (parts.isEmpty) sys.error(s"no .parquet part files under $path")
+        parts
+      } else Seq(p)
+    val first = fileDescriptors(files.head, conf)
+    files.tail.foreach { f =>
+      val d = fileDescriptors(f, conf)
+      if (d != first) {
+        val diffs = (first.keySet ++ d.keySet).toSeq.sorted.flatMap { c =>
+          val (a, b) = (first.get(c), d.get(c))
+          if (a == b) None
+          else Some(s"$c: ${b.getOrElse("ABSENT")} (${files.head.getName}: ${a.getOrElse("ABSENT")})")
+        }
+        sys.error(s"cross-part schema drift in $path at ${f.getName}: " +
+          diffs.mkString("; "))
+      }
+    }
+    first
+  }
+
   /** (hard deviations, warnings) for one table dir. Missing table
     * files are skipped (scale dirs legally carry a subset — absence is
     * already loud when a query reads it). */
   def checkTable(sfDir: String, table: String): (Seq[String], Seq[String]) = {
     val path = s"$sfDir/$table.parquet"
-    if (!new java.io.File(path).exists()) return (Nil, Nil)
+    // existence through the SAME Hadoop FileSystem API descriptors()
+    // resolves with (ADVICE r13): a java.io.File check on a non-local
+    // sfDir (hdfs://, s3a://) made every table look missing and turned
+    // the tripwire into a silent false pass
+    val p = new Path(path)
+    if (!p.getFileSystem(new Configuration()).exists(p)) return (Nil, Nil)
     val actual = descriptors(path)
     val exp = expected(table)
     val missing = (exp.keySet -- actual.keySet).toSeq.sorted

@@ -55,4 +55,30 @@ class SchemaTripwireSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_trip_empty")
     assert(SchemaTripwire.check(dir.toString) == Nil)
   }
+
+  test("drift confined to a LATER part file still trips (ADVICE r13)") {
+    // simulate a generator change mid-run: part 0 on-baseline, part 1
+    // with doc_id narrowed to int32 — a first-part-only probe passes
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val a = Files.createTempDirectory("graft_trip_pa")
+    val b = Files.createTempDirectory("graft_trip_pb")
+    Seq((1L, "doc", "en", "web", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(a.resolve("t").toString)
+    Seq((1, "doc", "en", "web", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(b.resolve("t").toString)
+    def part(d: java.nio.file.Path): java.nio.file.Path =
+      Files.list(d.resolve("t")).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+    val mixed = Files.createTempDirectory("graft_trip_mixed")
+    val tbl = mixed.resolve("documents.parquet")
+    Files.createDirectories(tbl)
+    Files.copy(part(a), tbl.resolve("part-00000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(part(b), tbl.resolve("part-00001.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val e = intercept[RuntimeException] {
+      SchemaTripwire.checkTable(mixed.toString, "documents")
+    }
+    assert(e.getMessage.contains("cross-part schema drift"), e.getMessage)
+    assert(e.getMessage.contains("doc_id"), e.getMessage)
+  }
 }

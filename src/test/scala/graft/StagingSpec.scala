@@ -144,4 +144,40 @@ class StagingSpec extends SparkSpec {
     assert(candA == candB, "concurrent and serial staging must agree")
     spark.catalog.clearCache()
   }
+
+  test("stageAll restores broadcast thresholds when staging FAILS (ADVICE r13)") {
+    import graft.operators.DedupOps
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    val root = Files.createTempDirectory("graft_stage_fail").toString
+    // a nonexistent sfDir makes the shared shingle root throw — the
+    // exact STAGE_MATERIALIZATION failure class the 1 MiB cap guards;
+    // before the r14 fix the cap leaked into the session and silently
+    // disabled broadcasts for every later query-time plan
+    intercept[Throwable] {
+      DedupOps.withStagingRoot(Some(root)) {
+        DedupOps.stageAll(spark, "/nonexistent/graft_sf_dir")
+      }
+    }
+    val after = keys.map(k => k -> spark.conf.getOption(k))
+    assert(after == saved,
+      s"broadcast thresholds must be restored after a staging failure: $after vs $saved")
+  }
+
+  test("stageAll refuses concurrent/reentrant staging on one session (ADVICE r13)") {
+    import graft.operators.DedupOps
+    assert(DedupOps.beginStaging(spark), "first begin must win")
+    try {
+      assert(!DedupOps.beginStaging(spark), "second begin must be refused")
+      val root = Files.createTempDirectory("graft_stage_reent").toString
+      val e = intercept[IllegalArgumentException] {
+        DedupOps.withStagingRoot(Some(root)) { DedupOps.stageAll(spark, sf) }
+      }
+      assert(e.getMessage.contains("already running"))
+    } finally DedupOps.endStaging(spark)
+    // released: a fresh begin succeeds again
+    assert(DedupOps.beginStaging(spark))
+    DedupOps.endStaging(spark)
+  }
 }
