@@ -167,7 +167,13 @@ object DedupOps {
         val bcastSaved = bcastKeys.map(k => k -> spark.conf.getOption(k))
         var pool: java.util.concurrent.ExecutorService = null
         try {
-          bcastKeys.foreach(spark.conf.set(_, "1m"))
+          // SPARK_GRAFT_STAGE_BCAST_CAP: override ("off" disables) —
+          // the A/B instrument behind PERF §28's capped-vs-uncapped
+          // staging numbers; production default stays 1m
+          sys.env.getOrElse("SPARK_GRAFT_STAGE_BCAST_CAP", "1m") match {
+            case "off" => ()
+            case cap   => bcastKeys.foreach(spark.conf.set(_, cap))
+          }
           shingleTable(spark, sfDir) // shared root of the DAG
           pool = java.util.concurrent.Executors.newFixedThreadPool(presets.size + 2)
           implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -993,12 +999,20 @@ object DedupOps {
     * with ~400k+ distinct shingles, but exact recall means exact. */
   private def loosened(t: Double): Double = t - 5e-7
 
-  def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
-    verifyPrefixPairs(
-        candidatesFrom(prefixTable(spark, sfDir, prefixThreshold),
-          prefixThreshold),
-        docSetsTable(spark, sfDir), prefixThreshold)
+  def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = docSetsTable(spark, sfDir)
+    val candS = candidatesWithSizesFrom(
+      prefixTable(spark, sfDir, prefixThreshold), prefixThreshold)
+    // sketch prefilter while the corpus fits the broadcast ceiling
+    // (parquet-metadata count — cheap); beyond it, straight to the
+    // SMJ verify, which is exact at any size
+    val cand =
+      if (Tables.documents(spark, sfDir).count() <= sketchMaxDocs)
+        sketchPrefilter(candS, sets, prefixThreshold)
+      else candS.select("doc_a", "doc_b")
+    verifyPrefixPairs(cand, sets, prefixThreshold)
       .orderBy("doc_a", "doc_b")
+  }
 
   /** [[prefixJaccardPairs]] over an arbitrary `(doc_id, text)` frame.
     * EAGER (runs a job before returning): the candidate pairs are
@@ -1012,9 +1026,18 @@ object DedupOps {
     val bg = shinglesOf(docs).select("doc_id", "s", "h", "h60")
     val prefix = prefixFrom(bg, t)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try verifyPrefixPairs(
-        candidatesFrom(prefix, t).localCheckpoint(true), setsFrom(bg), t)
-    finally { prefix.unpersist(false): Unit }
+    try {
+      val sets = setsFrom(bg)
+      val candS = candidatesWithSizesFrom(prefix, t).localCheckpoint(true)
+      // broadcast-size guard counted off the PERSISTED prefix frame
+      // (one sketch row per doc that reaches `sets`), not `docs` —
+      // an arbitrary caller lineage must not be recomputed for a count
+      val nDocs = prefix.select("doc_id").distinct().count()
+      val cand =
+        if (nDocs <= sketchMaxDocs) sketchPrefilter(candS, sets, t)
+        else candS.select("doc_a", "doc_b")
+      verifyPrefixPairs(cand, sets, t)
+    } finally { prefix.unpersist(false): Unit }
   }
 
   /** Probe prefix per doc under the global rarest-first order: the
@@ -1124,7 +1147,14 @@ object DedupOps {
     * so the stage is enumeration-optimal for this corpus; revisit
     * bucketing only for corpora whose shingle buckets mix widely
     * different lengths AND whose enumeration dominates the profile. */
-  private[graft] def candidatesFrom(prefix: DataFrame, t: Double): DataFrame = {
+  private[graft] def candidatesFrom(prefix: DataFrame, t: Double): DataFrame =
+    candidatesWithSizesFrom(prefix, t).select("doc_a", "doc_b")
+
+  /** [[candidatesFrom]] variant that also carries the two docs' set
+    * sizes (aligned to the doc_a/doc_b ordering) — the sketch
+    * prefilter's bound needs them without touching the set table. */
+  private[graft] def candidatesWithSizesFrom(prefix: DataFrame,
+                                             t: Double): DataFrame = {
     val tL = loosened(t)
     val larger = col("x.n") > col("y.n") ||
       (col("x.n") === col("y.n") && col("x.doc_id") > col("y.doc_id"))
@@ -1140,7 +1170,48 @@ object DedupOps {
       .where(col("k") + least(col("nx") - col("ra"), col("ny") - col("rb")) >=
              lit(tL / (1 + tL)) * (col("nx") + col("ny")))
       .select(least(col("xa"), col("ya")).as("doc_a"),
-              greatest(col("xa"), col("ya")).as("doc_b"))
+              greatest(col("xa"), col("ya")).as("doc_b"),
+              when(col("xa") <= col("ya"), col("nx")).otherwise(col("ny")).as("na"),
+              when(col("xa") <= col("ya"), col("ny")).otherwise(col("nx")).as("nb"))
+  }
+
+  /** Corpus-size ceiling for the broadcast sketch prefilter: 2M docs
+    * × (128 B sketch + row overhead) ≈ 400 MB in-heap per broadcast
+    * relation — inside a 16 GiB (and the validated 8 GiB) driver.
+    * Beyond it the prefilter is SKIPPED (exactness never depends on
+    * it); a cluster-scale caller can bucket the sketch into doc_sets
+    * instead. */
+  private[graft] val sketchMaxDocs = 2000000L
+
+  /** Verify PREFILTER (PERF §29): reject candidate pairs by the
+    * [[graft.functions.BucketSketch]] bucket-min-sum bound BEFORE the
+    * sort-merge verify. The verify's SMJ must sort-exchange every
+    * candidate pair twice (doc_a then doc_b attach); at 100× that is
+    * 58.7M pairs of which 25,600 survive the hash bound — 99.96%
+    * sorted for nothing. The sketch table is 128 B/doc, broadcast, so
+    * this filter runs in the SAME stage that emits the candidates:
+    * zero exchange, and the SMJ verify receives only the survivors.
+    *
+    * Exact recall: Σ min(bucket counts) provably upper-bounds the
+    * true shared-shingle count (see BucketSketch scaladoc), so
+    * filtering ub/(na+nb-ub) < loosened(t) can only drop pairs the
+    * exact verify would drop. Docs with ≥ 65,535 shingles (count
+    * saturation) bypass the filter entirely. */
+  private[graft] def sketchPrefilter(candWithSizes: DataFrame, sets: DataFrame,
+                                     t: Double): DataFrame = {
+    val tL = loosened(t)
+    val sk = sets.select(col("doc_id"),
+      graft.functions.BucketSketch.bucket_count_sketch(col("hs")).as("sk"))
+    candWithSizes
+      .join(broadcast(sk.select(col("doc_id").as("doc_a"), col("sk").as("ska"))),
+        "doc_a")
+      .join(broadcast(sk.select(col("doc_id").as("doc_b"), col("sk").as("skb"))),
+        "doc_b")
+      .withColumn("ub",
+        graft.functions.BucketSketch.bucket_min_sum(col("ska"), col("skb")))
+      .where(col("na") >= 65535 || col("nb") >= 65535 ||
+             col("ub") * lit(1.0) / (col("na") + col("nb") - col("ub")) >= tL)
+      .select("doc_a", "doc_b")
   }
 
   /** Exact verify by per-doc shingle SETS (docs are rows, not
@@ -1170,9 +1241,12 @@ object DedupOps {
     *      plus the rare hash-bound overshoot) touch the string
     *      arrays; the final compare is the ORACLE's compare —
     *      round(j, 6) >= t. */
-  private[graft] def verifyPrefixPairs(cand: DataFrame, sets: DataFrame,
-                                t: Double): DataFrame = {
-    val hashPass = cand
+  /** Stage 1 of the verify alone (the hash upper bound) — factored
+    * out so Q79Probe can attribute verify time between the bound pass
+    * and the exact confirm. */
+  private[graft] def verifyHashPass(cand: DataFrame, sets: DataFrame,
+                                    t: Double): DataFrame =
+    cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
         col("n").as("na"), col("nh").as("nha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
@@ -1184,6 +1258,10 @@ object DedupOps {
       .where(col("iu") * lit(1.0) / (col("na") + col("nb") - col("iu")) >=
              loosened(t))
       .select("doc_a", "doc_b")
+
+  private[graft] def verifyPrefixPairs(cand: DataFrame, sets: DataFrame,
+                                t: Double): DataFrame = {
+    val hashPass = verifyHashPass(cand, sets, t)
     hashPass
       .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
         col("n").as("na")), "doc_a")

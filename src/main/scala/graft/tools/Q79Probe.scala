@@ -28,6 +28,29 @@ object Q79Probe {
       DedupOps.docSetsTable(spark, sf).count()
       println(f"[q79] stage(prefix+sets)   ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       t("candidates")(DedupOps.candidatesFrom(prefix, DedupOps.prefixThreshold).count())
+      // verify breakdown over PRE-MATERIALIZED candidates: how much of
+      // the verify hand-off is the hash-bound pass vs the exact confirm
+      val cand = DedupOps.candidatesFrom(prefix, DedupOps.prefixThreshold)
+        .localCheckpoint(true)
+      val sets = DedupOps.docSetsTable(spark, sf)
+      t("verify hash-pass only")(
+        DedupOps.verifyHashPass(cand, sets, DedupOps.prefixThreshold).count())
+      t("verify full")(
+        DedupOps.verifyPrefixPairs(cand, sets, DedupOps.prefixThreshold).count())
+      // r14 sketch prefilter: bound-rejection in the candidate stage,
+      // before any sort-exchange — survivors feed the same SMJ verify
+      val candS = DedupOps.candidatesWithSizesFrom(prefix, DedupOps.prefixThreshold)
+        .localCheckpoint(true)
+      t("sketch prefilter only")(
+        DedupOps.sketchPrefilter(candS, sets, DedupOps.prefixThreshold).count())
+      t("verify w/ prefilter")(
+        DedupOps.verifyPrefixPairs(
+          DedupOps.sketchPrefilter(candS, sets, DedupOps.prefixThreshold),
+          sets, DedupOps.prefixThreshold).count())
+      // drop the two 58.7M-row checkpointed frames before the
+      // end-to-end stage — at 100× holding them alongside a full
+      // pipeline run overflows the default heap
+      cand.unpersist(true); candS.unpersist(true)
       t("q79 full")(graft.SparkEntry.queries("q79_prefix_jaccard")(spark, sf).count())
     }
     spark.stop()
