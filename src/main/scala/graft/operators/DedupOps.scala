@@ -1001,15 +1001,14 @@ object DedupOps {
 
   def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sets = docSetsTable(spark, sfDir)
-    val candS = candidatesWithSizesFrom(
-      prefixTable(spark, sfDir, prefixThreshold), prefixThreshold)
-    // sketch prefilter while the corpus fits the broadcast ceiling
-    // (parquet-metadata count — cheap); beyond it, straight to the
-    // SMJ verify, which is exact at any size
+    val prefix = prefixTable(spark, sfDir, prefixThreshold)
+    // sketch-filter the ENUMERATION while the corpus fits the
+    // broadcast ceiling (parquet-metadata count — cheap); beyond it,
+    // the plain aggregate + SMJ verify, which is exact at any size
     val cand =
       if (Tables.documents(spark, sfDir).count() <= sketchMaxDocs)
-        sketchPrefilter(candS, sets, prefixThreshold)
-      else candS.select("doc_a", "doc_b")
+        candidatesSketchFiltered(prefix, sets, prefixThreshold)
+      else candidatesFrom(prefix, prefixThreshold)
     verifyPrefixPairs(cand, sets, prefixThreshold)
       .orderBy("doc_a", "doc_b")
   }
@@ -1028,14 +1027,14 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sets = setsFrom(bg)
-      val candS = candidatesWithSizesFrom(prefix, t).localCheckpoint(true)
       // broadcast-size guard counted off the PERSISTED prefix frame
       // (one sketch row per doc that reaches `sets`), not `docs` —
       // an arbitrary caller lineage must not be recomputed for a count
       val nDocs = prefix.select("doc_id").distinct().count()
       val cand =
-        if (nDocs <= sketchMaxDocs) sketchPrefilter(candS, sets, t)
-        else candS.select("doc_a", "doc_b")
+        if (nDocs <= sketchMaxDocs)
+          candidatesSketchFiltered(prefix, sets, t).localCheckpoint(true)
+        else candidatesFrom(prefix, t).localCheckpoint(true)
       verifyPrefixPairs(cand, sets, t)
     } finally { prefix.unpersist(false): Unit }
   }
@@ -1154,7 +1153,14 @@ object DedupOps {
     * sizes (aligned to the doc_a/doc_b ordering) — the sketch
     * prefilter's bound needs them without touching the set table. */
   private[graft] def candidatesWithSizesFrom(prefix: DataFrame,
-                                             t: Double): DataFrame = {
+                                             t: Double): DataFrame =
+    aggregateEnumerated(enumeratedCollisions(prefix, t), t)
+
+  /** The candidate stage's ENUMERATION alone: one row per h60 prefix
+    * collision that survives the rank and length-ratio bounds — the
+    * 392M→143M funnel of PERF §27 — flattened to named columns so
+    * row-grain filters can run before [[aggregateEnumerated]]. */
+  private def enumeratedCollisions(prefix: DataFrame, t: Double): DataFrame = {
     val tL = loosened(t)
     val larger = col("x.n") > col("y.n") ||
       (col("x.n") === col("y.n") && col("x.doc_id") > col("y.doc_id"))
@@ -1163,16 +1169,52 @@ object DedupOps {
         col("y.rk") <=
           col("y.n") - ceil(lit(2 * tL / (1 + tL)) * col("y.n")) + 1)
       .where(col("x.n") <= col("y.n") / tL)
-      .groupBy(col("x.doc_id").as("xa"), col("y.doc_id").as("ya"),
-        col("x.n").as("nx"), col("y.n").as("ny"))
+      .select(col("x.doc_id").as("xa"), col("y.doc_id").as("ya"),
+        col("x.n").as("nx"), col("y.n").as("ny"),
+        col("x.rk").as("xrk"), col("y.rk").as("yrk"))
+  }
+
+  /** Collision rows → candidate pairs: per-pair collision count plus
+    * the aggregated position bound (PPJoin's suffix bound). */
+  private def aggregateEnumerated(e: DataFrame, t: Double): DataFrame = {
+    val tL = loosened(t)
+    e.groupBy("xa", "ya", "nx", "ny")
       .agg(count(lit(1)).as("k"),
-        max(col("x.rk")).as("ra"), max(col("y.rk")).as("rb"))
+        max(col("xrk")).as("ra"), max(col("yrk")).as("rb"))
       .where(col("k") + least(col("nx") - col("ra"), col("ny") - col("rb")) >=
              lit(tL / (1 + tL)) * (col("nx") + col("ny")))
       .select(least(col("xa"), col("ya")).as("doc_a"),
               greatest(col("xa"), col("ya")).as("doc_b"),
               when(col("xa") <= col("ya"), col("nx")).otherwise(col("ny")).as("na"),
               when(col("xa") <= col("ya"), col("ny")).otherwise(col("nx")).as("nb"))
+  }
+
+  /** [[candidatesWithSizesFrom]] with the sketch bound applied to the
+    * ENUMERATION rows, before the pair aggregate (PERF §31). The
+    * bound depends only on the two doc identities, so every collision
+    * row of a pair shares the verdict — dropping them pre-aggregate
+    * drops whole pairs, never partial rows, and only pairs the exact
+    * verify would reject (same bound as [[sketchPrefilter]]). The two
+    * sketch attaches are broadcast hash joins that stay inside the
+    * enumeration's codegen stage: the pair aggregate's hash table
+    * then holds only sketch-surviving pairs (~25.6k at 100×) instead
+    * of 58.7M. */
+  private[graft] def candidatesSketchFiltered(prefix: DataFrame,
+      sets: DataFrame, t: Double): DataFrame = {
+    val tL = loosened(t)
+    val sk = sets.select(col("doc_id"),
+      graft.functions.BucketSketch.bucket_count_sketch(col("hs")).as("sk"))
+    val filtered = enumeratedCollisions(prefix, t)
+      .join(broadcast(sk.select(col("doc_id").as("xa"), col("sk").as("skx"))),
+        "xa")
+      .join(broadcast(sk.select(col("doc_id").as("ya"), col("sk").as("sky"))),
+        "ya")
+      .withColumn("ub",
+        graft.functions.BucketSketch.bucket_min_sum(col("skx"), col("sky")))
+      .where(col("nx") >= 65535 || col("ny") >= 65535 ||
+             col("ub") * lit(1.0) / (col("nx") + col("ny") - col("ub")) >= tL)
+      .drop("skx", "sky", "ub")
+    aggregateEnumerated(filtered, t).select("doc_a", "doc_b")
   }
 
   /** Corpus-size ceiling for the broadcast sketch prefilter: 2M docs

@@ -58,9 +58,17 @@ object Q56Probe {
     val spark = graft.GraftSession.local("q56-probe")
     graft.SparkEntry.entry(spark).count() // warm-up
 
-    val planA = variantA(spark, sf).queryExecution.executedPlan.toString
-    println(s"[q56] variant A reused exchanges: " +
-      planA.linesIterator.count(_.contains("ReusedExchange")))
+    // count exchange reuse on the POST-execution adaptive plan — the
+    // pre-execution AdaptiveSparkPlan string hides runtime stage reuse
+    val dfA = variantA(spark, sf)
+    dfA.count()
+    val planA = dfA.queryExecution.executedPlan.toString
+    println(s"[q56] variant A post-exec reused stages: " +
+      planA.linesIterator.count(l =>
+        l.contains("ReusedExchange") || l.contains("ReusedQueryStage")) +
+      ", document scans: " +
+      planA.linesIterator.count(l =>
+        l.contains("Scan parquet") && l.contains("documents")))
 
     def t(name: String)(b: => DataFrame): Unit = (1 to 3).foreach { i =>
       val t0 = System.nanoTime()

@@ -43,6 +43,11 @@ object Q79Probe {
         .localCheckpoint(true)
       t("sketch prefilter only")(
         DedupOps.sketchPrefilter(candS, sets, DedupOps.prefixThreshold).count())
+      // r14b: the same bound at enumeration grain, BEFORE the pair
+      // aggregate — the whole candidate stage from the staged prefix
+      t("cand sketch-filtered")(
+        DedupOps.candidatesSketchFiltered(prefix, sets,
+          DedupOps.prefixThreshold).count())
       t("verify w/ prefilter")(
         DedupOps.verifyPrefixPairs(
           DedupOps.sketchPrefilter(candS, sets, DedupOps.prefixThreshold),

@@ -85,6 +85,18 @@ class BucketSketchSpec extends SparkSpec {
       assert(plain.nonEmpty, "expected verified pairs at sf0.01")
       assert(filtered == plain,
         "prefilter must not change the verified pair set")
+      // the shipped path applies the same bound BEFORE the pair
+      // aggregate (enumeration-row grain) — must also be invariant,
+      // and its candidate set must equal the post-aggregate filter's
+      val preAgg = DedupOps.candidatesSketchFiltered(prefix, sets, t)
+      val candPost = DedupOps.sketchPrefilter(candS, sets, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val candPre = preAgg.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(candPre == candPost,
+        "pre-aggregate sketch filter must keep the same candidate set")
+      assert(pairs(preAgg) == plain,
+        "pre-aggregate filter must not change the verified pair set")
     }
     spark.catalog.clearCache()
   }
