@@ -435,20 +435,36 @@ object DedupOps {
           col("doc_id").as("doc_a"), col("doc_id").as("doc_b"),
           lit(1.0).as("est_jaccard")))
       else {
+        // Two-pass collapse (PERF §32). Pass 1 censuses group sizes on
+        // the 8-byte FINGERPRINT stream alone — the old single-window
+        // form pushed every full signature array through the group
+        // exchange (500 MB at h128/100×, over half the banding wall)
+        // to discover that almost no group is oversized. Only members
+        // of fp-groups larger than the threshold proceed to pass 2.
         val wfp = Window.partitionBy("__fp")
-        val rep = arr
-          .withColumn("__fp", xxhash64(col("__sig")))
+        val suspectIds = arr
+          .select(col("doc_id"), xxhash64(col("__sig")).as("__fp"))
+          .withColumn("__fsz", count(lit(1)).over(wfp))
+          .where(col("__fsz") > g.maxGroupAllPairs)
+          .select("doc_id", "__fp")
+        // Pass 2: the EXACT group logic of the original form, on the
+        // suspect subset only. The suspect id list is joined hint-free
+        // (AQE broadcasts it while small; a pathological all-dups
+        // corpus degrades to a shuffle join — the pre-§32 cost — and
+        // never loses exactness). fp collisions only pull extra docs
+        // into pass 2, where the array compare clears them.
+        val suspects = arr.join(suspectIds, "doc_id")
           .withColumn("__gmin", min(col("doc_id")).over(wfp))
           .withColumn("__repv", min_by(col("__sig"), col("doc_id")).over(wfp))
-        val tagged = rep
           .withColumn("__gsz",
             sum(when(col("__sig") === col("__repv"), 1L).otherwise(0L)).over(wfp))
           .withColumn("__dup",
             col("__sig") === col("__repv") && col("__gsz") > g.maxGroupAllPairs)
-        (tagged
-           .where(!col("__dup") || col("doc_id") === col("__gmin"))
-           .select("doc_id", "__sig"),
-         tagged
+        (arr.join(suspectIds.select("doc_id"), Seq("doc_id"), "left_anti")
+           .unionByName(suspects
+             .where(!col("__dup") || col("doc_id") === col("__gmin"))
+             .select("doc_id", "__sig")),
+         suspects
            .where(col("__dup") && col("doc_id") =!= col("__gmin"))
            .select(col("__gmin").as("doc_a"), col("doc_id").as("doc_b"),
              lit(1.0).as("est_jaccard")))
