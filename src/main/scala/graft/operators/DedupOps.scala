@@ -595,11 +595,27 @@ object DedupOps {
     * staging chain at every measured scale. Output is unchanged
     * (exact rounded Jaccard, zero false negatives by the collision-
     * slack bound). */
+  /** Candidate-count floor for prefiltering the LSH verify: building
+    * the broadcast sketch table costs ~1.5 s at 100× (a pass over
+    * doc_sets), so it only pays when the candidate flood is large
+    * enough that pruning its exchange saves more (PERF §33: the 8/4
+    * preset's 2.46M est-candidates → 29k, verify 7.6 → 6.1 s; the
+    * 128/16 preset's 72k candidates would be a net loss). */
+  private[graft] val verifySketchMinCand = 500000L
+
   private def computeJaccardVerify(spark: SparkSession, sfDir: String,
-                                   p: MinHashParams): DataFrame =
-    verifyPrefixPairs(
-      lshCandidates(spark, sfDir, p).select("doc_a", "doc_b"),
-      docSetsTable(spark, sfDir), jaccardThreshold)
+                                   p: MinHashParams): DataFrame = {
+    val cand = lshCandidates(spark, sfDir, p).select("doc_a", "doc_b")
+    val sets = docSetsTable(spark, sfDir)
+    // the count is parquet metadata on the staged path and forces the
+    // persisted frame the verify needs anyway on the unstaged one
+    val pruned =
+      if (cand.count() >= verifySketchMinCand &&
+          Tables.documents(spark, sfDir).count() <= sketchMaxDocs)
+        sketchPrefilterBare(cand, sets, jaccardThreshold)
+      else cand
+    verifyPrefixPairs(pruned, sets, jaccardThreshold)
+  }
 
   /** Verified near-dup pair table, staged like the candidate table:
     * the exact-Jaccard verify join is the last expensive dedup stage,
@@ -1265,6 +1281,30 @@ object DedupOps {
         "doc_a")
       .join(broadcast(sk.select(col("doc_id").as("doc_b"), col("sk").as("skb"))),
         "doc_b")
+      .withColumn("ub",
+        graft.functions.BucketSketch.bucket_min_sum(col("ska"), col("skb")))
+      .where(col("na") >= 65535 || col("nb") >= 65535 ||
+             col("ub") * lit(1.0) / (col("na") + col("nb") - col("ub")) >= tL)
+      .select("doc_a", "doc_b")
+  }
+
+  /** [[sketchPrefilter]] for candidate frames that carry only
+    * (doc_a, doc_b): the set sizes ride the same broadcast rows as
+    * the sketches, so the filter still runs in the candidate-emitting
+    * stage with zero exchange. Used by the LSH verify (PERF §33) —
+    * its 8/4 preset floods ~2.5M est-candidates at 100× of which ~1%
+    * survive the exact verify. */
+  private[graft] def sketchPrefilterBare(cand: DataFrame, sets: DataFrame,
+                                         t: Double): DataFrame = {
+    val tL = loosened(t)
+    val sk = sets.select(col("doc_id"),
+      graft.functions.BucketSketch.bucket_count_sketch(col("hs")).as("sk"),
+      col("n"))
+    cand
+      .join(broadcast(sk.select(col("doc_id").as("doc_a"),
+        col("sk").as("ska"), col("n").as("na"))), "doc_a")
+      .join(broadcast(sk.select(col("doc_id").as("doc_b"),
+        col("sk").as("skb"), col("n").as("nb"))), "doc_b")
       .withColumn("ub",
         graft.functions.BucketSketch.bucket_min_sum(col("ska"), col("skb")))
       .where(col("na") >= 65535 || col("nb") >= 65535 ||

@@ -30,6 +30,23 @@ object MinHashChainProbe {
         t("doc_sets")(DedupOps.docSetsTable(spark, sf).count())
         t("verify")(DedupOps.jaccardVerify(spark, sf, p).count())
       }
+      if (args.contains("verifyab")) {
+        // LSH-verify A/B at t=0.5: sketch-bound selectivity on the
+        // est-candidate flood, then plain vs prefiltered verify
+        val cand = DedupOps.lshCandidates(spark, sf, p)
+          .select("doc_a", "doc_b").localCheckpoint(true)
+        val sets = DedupOps.docSetsTable(spark, sf)
+        t("v sketch only")(
+          DedupOps.sketchPrefilterBare(cand, sets,
+            DedupOps.jaccardThreshold).count())
+        t("v plain")(
+          DedupOps.verifyPrefixPairs(cand, sets,
+            DedupOps.jaccardThreshold).count())
+        t("v prefiltered")(
+          DedupOps.verifyPrefixPairs(
+            DedupOps.sketchPrefilterBare(cand, sets, DedupOps.jaccardThreshold),
+            sets, DedupOps.jaccardThreshold).count())
+      }
       // banding-internal attribution (unstaged path, sig recompute is
       // a constant ~5 s in each): default guard vs exact-dup collapse
       // disabled vs whole guard off

@@ -100,4 +100,24 @@ class BucketSketchSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("LSH verify prefilter (t=0.5) is output-invariant") {
+    val dir = "/root/testdata/sf0.01"
+    DedupOps.withStagingRoot(None) {
+      val cand = DedupOps.lshCandidates(spark, dir).select("doc_a", "doc_b")
+        .localCheckpoint(true)
+      val sets = DedupOps.docSetsTable(spark, dir)
+      val t = DedupOps.jaccardThreshold
+      def out(c: org.apache.spark.sql.DataFrame) =
+        DedupOps.verifyPrefixPairs(c, sets, t).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val plain = out(cand)
+      val pruned = DedupOps.sketchPrefilterBare(cand, sets, t)
+      assert(pruned.count() < cand.count(),
+        "bare prefilter must reject something at t=0.5")
+      assert(plain.nonEmpty && out(pruned) == plain,
+        "bare prefilter must not change the LSH-verified pair set")
+    }
+    spark.catalog.clearCache()
+  }
 }
