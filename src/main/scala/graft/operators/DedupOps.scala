@@ -605,10 +605,15 @@ object DedupOps {
 
   private def computeJaccardVerify(spark: SparkSession, sfDir: String,
                                    p: MinHashParams): DataFrame = {
-    val cand = lshCandidates(spark, sfDir, p).select("doc_a", "doc_b")
+    val cand0 = lshCandidates(spark, sfDir, p).select("doc_a", "doc_b")
+    // staged: the count is parquet metadata. Unstaged: checkpoint so
+    // the density count and the verify share ONE banding run — a bare
+    // count() would re-run the whole candidate build
+    val cand = stagingRoot match {
+      case Some(_) => cand0
+      case None    => cand0.localCheckpoint(true)
+    }
     val sets = docSetsTable(spark, sfDir)
-    // the count is parquet metadata on the staged path and forces the
-    // persisted frame the verify needs anyway on the unstaged one
     val pruned =
       if (cand.count() >= verifySketchMinCand &&
           Tables.documents(spark, sfDir).count() <= sketchMaxDocs)
