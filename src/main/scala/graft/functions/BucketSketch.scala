@@ -130,8 +130,9 @@ case class BucketMinSum(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    require(x.length == y.length,
-      s"sketch length mismatch: ${x.length} vs ${y.length}")
+    require(x.length == y.length && (x.length & 1) == 0,
+      s"malformed sketches: lengths ${x.length} vs ${y.length} " +
+        "(must be equal and even)")
     var i = 0; var s = 0
     while (i < x.length) {
       val cx = ((x(i) & 0xff) << 8) | (x(i + 1) & 0xff)
@@ -149,9 +150,9 @@ case class BucketMinSum(left: Expression, right: Expression)
       val cx = ctx.freshName("cx")
       val cy = ctx.freshName("cy")
       s"""
-         |if ($a.length != $b.length) {
-         |  throw new IllegalArgumentException("sketch length mismatch: "
-         |    + $a.length + " vs " + $b.length);
+         |if ($a.length != $b.length || ($a.length & 1) != 0) {
+         |  throw new IllegalArgumentException("malformed sketches: lengths "
+         |    + $a.length + " vs " + $b.length + " (must be equal and even)");
          |}
          |int $s = 0;
          |for (int $i = 0; $i < $a.length; $i += 2) {

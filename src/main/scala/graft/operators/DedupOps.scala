@@ -605,20 +605,20 @@ object DedupOps {
 
   private def computeJaccardVerify(spark: SparkSession, sfDir: String,
                                    p: MinHashParams): DataFrame = {
-    val cand0 = lshCandidates(spark, sfDir, p).select("doc_a", "doc_b")
-    // staged: the count is parquet metadata. Unstaged: checkpoint so
-    // the density count and the verify share ONE banding run — a bare
-    // count() would re-run the whole candidate build
-    val cand = stagingRoot match {
-      case Some(_) => cand0
-      case None    => cand0.localCheckpoint(true)
-    }
+    val cand = lshCandidates(spark, sfDir, p).select("doc_a", "doc_b")
     val sets = docSetsTable(spark, sfDir)
-    val pruned =
-      if (cand.count() >= verifySketchMinCand &&
-          Tables.documents(spark, sfDir).count() <= sketchMaxDocs)
+    // The density gate is STAGED-path only: there the candidate table
+    // is materialized parquet so the count is metadata-cheap, and the
+    // verified-table build is where the flood hurts. The unstaged
+    // path stays fully lazy (an eager count would re-run or pin the
+    // whole banding build) and skips the prefilter — per-call sketch
+    // builds don't amortize for one-shot library use anyway.
+    val pruned = stagingRoot match {
+      case Some(_) if cand.count() >= verifySketchMinCand &&
+          Tables.documents(spark, sfDir).count() <= sketchDocCeiling(spark) =>
         sketchPrefilterBare(cand, sets, jaccardThreshold)
-      else cand
+      case _ => cand
+    }
     verifyPrefixPairs(pruned, sets, jaccardThreshold)
   }
 
@@ -1043,7 +1043,7 @@ object DedupOps {
     // broadcast ceiling (parquet-metadata count — cheap); beyond it,
     // the plain aggregate + SMJ verify, which is exact at any size
     val cand =
-      if (Tables.documents(spark, sfDir).count() <= sketchMaxDocs)
+      if (Tables.documents(spark, sfDir).count() <= sketchDocCeiling(spark))
         candidatesSketchFiltered(prefix, sets, prefixThreshold)
       else candidatesFrom(prefix, prefixThreshold)
     verifyPrefixPairs(cand, sets, prefixThreshold)
@@ -1069,7 +1069,7 @@ object DedupOps {
       // an arbitrary caller lineage must not be recomputed for a count
       val nDocs = prefix.select("doc_id").distinct().count()
       val cand =
-        if (nDocs <= sketchMaxDocs)
+        if (nDocs <= sketchDocCeiling(docs.sparkSession))
           candidatesSketchFiltered(prefix, sets, t).localCheckpoint(true)
         else candidatesFrom(prefix, t).localCheckpoint(true)
       verifyPrefixPairs(cand, sets, t)
@@ -1237,22 +1237,11 @@ object DedupOps {
     * then holds only sketch-surviving pairs (~25.6k at 100×) instead
     * of 58.7M. */
   private[graft] def candidatesSketchFiltered(prefix: DataFrame,
-      sets: DataFrame, t: Double): DataFrame = {
-    val tL = loosened(t)
-    val sk = sets.select(col("doc_id"),
-      graft.functions.BucketSketch.bucket_count_sketch(col("hs")).as("sk"))
-    val filtered = enumeratedCollisions(prefix, t)
-      .join(broadcast(sk.select(col("doc_id").as("xa"), col("sk").as("skx"))),
-        "xa")
-      .join(broadcast(sk.select(col("doc_id").as("ya"), col("sk").as("sky"))),
-        "ya")
-      .withColumn("ub",
-        graft.functions.BucketSketch.bucket_min_sum(col("skx"), col("sky")))
-      .where(col("nx") >= 65535 || col("ny") >= 65535 ||
-             col("ub") * lit(1.0) / (col("nx") + col("ny") - col("ub")) >= tL)
-      .drop("skx", "sky", "ub")
-    aggregateEnumerated(filtered, t).select("doc_a", "doc_b")
-  }
+      sets: DataFrame, t: Double): DataFrame =
+    aggregateEnumerated(
+      sketchBoundFilter(enumeratedCollisions(prefix, t), sets, t,
+        "xa", "ya", Some(("nx", "ny"))),
+      t).select("doc_a", "doc_b")
 
   /** Corpus-size ceiling for the broadcast sketch prefilter: 2M docs
     * × (128 B sketch + row overhead) ≈ 400 MB in-heap per broadcast
@@ -1262,36 +1251,63 @@ object DedupOps {
     * instead. */
   private[graft] val sketchMaxDocs = 2000000L
 
-  /** Verify PREFILTER (PERF §29): reject candidate pairs by the
-    * [[graft.functions.BucketSketch]] bucket-min-sum bound BEFORE the
-    * sort-merge verify. The verify's SMJ must sort-exchange every
-    * candidate pair twice (doc_a then doc_b attach); at 100× that is
-    * 58.7M pairs of which 25,600 survive the hash bound — 99.96%
-    * sorted for nothing. The sketch table is 128 B/doc, broadcast, so
-    * this filter runs in the SAME stage that emits the candidates:
-    * zero exchange, and the SMJ verify receives only the survivors.
+  /** The prefilter ceiling while a `stageAll` window is open on the
+    * session: the sketch attaches are EXPLICIT broadcast hints (the
+    * relation is deliberately above the session threshold), so the
+    * staging window's 1 MiB cap does not govern them — and during
+    * staging up to two verify chains build prefilters concurrently
+    * with every other chain's sort/agg buffers alive. A quarter of
+    * the query-time ceiling keeps the staging-window worst case at
+    * the scale the 8 GiB artifact validated (500k docs); past it the
+    * chains fall back to the plain verify, which staging amortizes
+    * anyway. */
+  private[graft] def sketchDocCeiling(spark: SparkSession): Long =
+    if (stagingSessions.contains(spark)) sketchMaxDocs / 4 else sketchMaxDocs
+
+  /** The ONE sketch-bound filter behind all three prefilter entry
+    * points (PERF §29/§31/§33): attach both pair sides' broadcast
+    * sketches by (`aCol`, `bCol`), compute the bucket-min-sum upper
+    * bound, and keep rows whose bound can still reach the threshold.
+    * `sizeCols` names the per-side set-size columns when the input
+    * rows already carry them; when absent the sizes ride the same
+    * broadcast rows as the sketches. All non-temp input columns pass
+    * through untouched.
     *
     * Exact recall: Σ min(bucket counts) provably upper-bounds the
     * true shared-shingle count (see BucketSketch scaladoc), so
     * filtering ub/(na+nb-ub) < loosened(t) can only drop pairs the
     * exact verify would drop. Docs with ≥ 65,535 shingles (count
     * saturation) bypass the filter entirely. */
-  private[graft] def sketchPrefilter(candWithSizes: DataFrame, sets: DataFrame,
-                                     t: Double): DataFrame = {
+  private def sketchBoundFilter(pairs: DataFrame, sets: DataFrame, t: Double,
+      aCol: String, bCol: String,
+      sizeCols: Option[(String, String)]): DataFrame = {
     val tL = loosened(t)
-    val sk = sets.select(col("doc_id"),
-      graft.functions.BucketSketch.bucket_count_sketch(col("hs")).as("sk"))
-    candWithSizes
-      .join(broadcast(sk.select(col("doc_id").as("doc_a"), col("sk").as("ska"))),
-        "doc_a")
-      .join(broadcast(sk.select(col("doc_id").as("doc_b"), col("sk").as("skb"))),
-        "doc_b")
-      .withColumn("ub",
-        graft.functions.BucketSketch.bucket_min_sum(col("ska"), col("skb")))
-      .where(col("na") >= 65535 || col("nb") >= 65535 ||
-             col("ub") * lit(1.0) / (col("na") + col("nb") - col("ub")) >= tL)
-      .select("doc_a", "doc_b")
+    val skCols = col("doc_id") +:
+      graft.functions.BucketSketch.bucket_count_sketch(col("hs")).as("__sk") +:
+      (if (sizeCols.isEmpty) Seq(col("n")) else Nil)
+    val sk = sets.select(skCols: _*)
+    def side(keyOut: String, skOut: String, nOut: Option[String]) =
+      broadcast(sk.select(col("doc_id").as(keyOut) +: col("__sk").as(skOut) +:
+        nOut.map(col("n").as(_)).toSeq: _*))
+    val (na, nb) = sizeCols.getOrElse(("__na", "__nb"))
+    val attached = pairs
+      .join(side(aCol, "__ska", if (sizeCols.isEmpty) Some("__na") else None), aCol)
+      .join(side(bCol, "__skb", if (sizeCols.isEmpty) Some("__nb") else None), bCol)
+      .withColumn("__ub",
+        graft.functions.BucketSketch.bucket_min_sum(col("__ska"), col("__skb")))
+      .where(col(na) >= 65535 || col(nb) >= 65535 ||
+             col("__ub") * lit(1.0) / (col(na) + col(nb) - col("__ub")) >= tL)
+    attached.drop(
+      Seq("__ska", "__skb", "__ub") ++ (if (sizeCols.isEmpty) Seq(na, nb) else Nil): _*)
   }
+
+  /** Verify PREFILTER over aggregated candidate pairs carrying their
+    * set sizes (PERF §29): zero-exchange bound rejection before the
+    * SMJ verify. */
+  private[graft] def sketchPrefilter(candWithSizes: DataFrame, sets: DataFrame,
+                                     t: Double): DataFrame =
+    sketchBoundFilter(candWithSizes, sets, t, "doc_a", "doc_b",
+      Some(("na", "nb"))).select("doc_a", "doc_b")
 
   /** [[sketchPrefilter]] for candidate frames that carry only
     * (doc_a, doc_b): the set sizes ride the same broadcast rows as
@@ -1300,22 +1316,9 @@ object DedupOps {
     * its 8/4 preset floods ~2.5M est-candidates at 100× of which ~1%
     * survive the exact verify. */
   private[graft] def sketchPrefilterBare(cand: DataFrame, sets: DataFrame,
-                                         t: Double): DataFrame = {
-    val tL = loosened(t)
-    val sk = sets.select(col("doc_id"),
-      graft.functions.BucketSketch.bucket_count_sketch(col("hs")).as("sk"),
-      col("n"))
-    cand
-      .join(broadcast(sk.select(col("doc_id").as("doc_a"),
-        col("sk").as("ska"), col("n").as("na"))), "doc_a")
-      .join(broadcast(sk.select(col("doc_id").as("doc_b"),
-        col("sk").as("skb"), col("n").as("nb"))), "doc_b")
-      .withColumn("ub",
-        graft.functions.BucketSketch.bucket_min_sum(col("ska"), col("skb")))
-      .where(col("na") >= 65535 || col("nb") >= 65535 ||
-             col("ub") * lit(1.0) / (col("na") + col("nb") - col("ub")) >= tL)
+                                         t: Double): DataFrame =
+    sketchBoundFilter(cand, sets, t, "doc_a", "doc_b", None)
       .select("doc_a", "doc_b")
-  }
 
   /** Exact verify by per-doc shingle SETS (docs are rows, not
     * explosions): joins against the doc-level set table beat

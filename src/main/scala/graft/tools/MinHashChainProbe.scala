@@ -11,11 +11,16 @@ import graft.operators.DedupOps
 object MinHashChainProbe {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val nh = args.lift(1).map(_.toInt).getOrElse(128)
+    // flags ('bandsonly', 'verifyab') are position-independent; the
+    // numHashes arg is whichever argument is numeric
+    val nh = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(128)
+    val p = Seq(DedupOps.defaultParams, DedupOps.scaleParams)
+      .find(_.numHashes == nh)
+      .getOrElse(sys.error(
+        s"no preset with numHashes=$nh (have ${DedupOps.defaultParams.numHashes}" +
+          s" and ${DedupOps.scaleParams.numHashes})"))
     val spark = graft.GraftSession.local("minhash-chain-probe")
     graft.SparkEntry.entry(spark).count() // warm-up
-    val p = if (nh == DedupOps.scaleParams.numHashes) DedupOps.scaleParams
-            else DedupOps.defaultParams
     val root = java.nio.file.Files.createTempDirectory("probe_mh").toString
     DedupOps.withStagingRoot(Some(root)) {
       def t(name: String)(b: => Any): Unit = {

@@ -30,6 +30,13 @@ object Q79Probe {
       t("candidates")(DedupOps.candidatesFrom(prefix, DedupOps.prefixThreshold).count())
       // verify breakdown over PRE-MATERIALIZED candidates: how much of
       // the verify hand-off is the hash-bound pass vs the exact confirm
+      // localCheckpoint (NOT persist): the per-rep clearCache() in t()
+      // would evict a persisted input between reps and re-time its
+      // recompute; checkpoint blocks survive it. They are only freed
+      // when the frame is GC'd, so everything measured after this
+      // point runs with both pair frames resident — fine since the
+      // sketch-filtered q79 path no longer builds 58.7M-row sort
+      // buffers (the r14c OOM was the PRE-filter path).
       val cand = DedupOps.candidatesFrom(prefix, DedupOps.prefixThreshold)
         .localCheckpoint(true)
       val sets = DedupOps.docSetsTable(spark, sf)
@@ -52,10 +59,6 @@ object Q79Probe {
         DedupOps.verifyPrefixPairs(
           DedupOps.sketchPrefilter(candS, sets, DedupOps.prefixThreshold),
           sets, DedupOps.prefixThreshold).count())
-      // drop the two 58.7M-row checkpointed frames before the
-      // end-to-end stage — at 100× holding them alongside a full
-      // pipeline run overflows the default heap
-      cand.unpersist(true); candS.unpersist(true)
       t("q79 full")(graft.SparkEntry.queries("q79_prefix_jaccard")(spark, sf).count())
     }
     spark.stop()
