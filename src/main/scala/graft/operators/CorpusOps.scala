@@ -766,14 +766,28 @@ object CorpusOps {
     * is a scan + one aggregate over five tiny columns. */
   private[graft] def stageFlagsTable(spark: SparkSession, sfDir: String): DataFrame = {
     def compute = {
+      // Staging-window overlap (PERF §34): inside stageAll this chain's
+      // gating dependency is the verified table behind dedupKeepList —
+      // the LONGEST chain's dir lock. The q51 quality and q48 decontam
+      // subtrees depend on nothing the dedup chains build (documents +
+      // shingles only), so under a staging root they are materialized
+      // EAGERLY first (localCheckpoint: one tiny pinned frame each,
+      // ~doc_count rows of flags) and their execution overlaps the
+      // verify build instead of serializing behind it; the final write
+      // is then three cheap joins. Unstaged callers keep the original
+      // single-job lazy shape.
+      def eager(df: DataFrame): DataFrame =
+        if (Staging.root.isDefined) df.localCheckpoint() else df
+      val q = eager(qualityFilter(spark, sfDir).where(col("pass") === 1)
+        .select("doc_id").withColumn("f_q", lit(true)))
+      val dc = eager(decontaminate(spark, sfDir).where(col("contaminated") === 0)
+        .select("doc_id").withColumn("f_dc", lit(true)))
       val keeper = DedupOps.keeperTable(spark, sfDir)
       keeper
         .join(DedupOps.dedupKeepList(spark, sfDir).select("doc_id")
                 .withColumn("f_near", lit(true)), Seq("doc_id"), "left")
-        .join(qualityFilter(spark, sfDir).where(col("pass") === 1)
-                .select("doc_id").withColumn("f_q", lit(true)), Seq("doc_id"), "left")
-        .join(decontaminate(spark, sfDir).where(col("contaminated") === 0)
-                .select("doc_id").withColumn("f_dc", lit(true)), Seq("doc_id"), "left")
+        .join(q, Seq("doc_id"), "left")
+        .join(dc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           (col("doc_id") === col("keeper")).as("f_exact"),
           coalesce(col("f_near"), lit(false)).as("f_near"),

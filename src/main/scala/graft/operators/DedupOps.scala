@@ -118,14 +118,16 @@ object DedupOps {
     }
 
   /** Materialize EVERY staged dedup/ANN table for `sfDir`, exploiting
-    * the dependency DAG: the shared shingle table is built first (it
-    * feeds everything text-side), then the independent chains — one
-    * signatures→candidates chain per minhash preset, the simhash
-    * table, and the IVF ANN model — run as CONCURRENT Spark jobs on
-    * the shared session. On a cluster each chain is its own job whose
-    * stages interleave on free executors; at staging time the work is
-    * write-bound, so overlapping the chains hides per-job fixed cost
-    * (scheduling, codegen, parquet commit) behind each other.
+    * the dependency DAG: every chain — the shared shingle and doc_sets
+    * roots, one signatures→candidates→verify chain per minhash preset,
+    * the simhash table, the IVF ANN model, and the rest — is submitted
+    * AT ONCE as a concurrent Spark job on the shared session; the
+    * per-table dir locks serialize exactly the DAG edges (a dependent
+    * chain blocks on its dependency's lock, independents overlap). On
+    * a cluster each chain is its own job whose stages interleave on
+    * free executors; at staging time the work is write-bound, so
+    * overlapping the chains hides per-job fixed cost (scheduling,
+    * codegen, parquet commit) behind each other (wall A/B: PERF §34).
     * Exceptions from any chain propagate (no partial-success silence);
     * staging off ⇒ no-op. */
   def stageAll(spark: SparkSession, sfDir: String,
@@ -174,8 +176,53 @@ object DedupOps {
             case "off" => ()
             case cap   => bcastKeys.foreach(spark.conf.set(_, cap))
           }
-          shingleTable(spark, sfDir) // shared root of the DAG
-          pool = java.util.concurrent.Executors.newFixedThreadPool(presets.size + 2)
+          // Chain inventory FIRST (as thunks), so the pool is sized to
+          // run every chain concurrently: the r13 pool of
+          // presets.size + 2 threads queued flags/keeper/ivf behind
+          // the first four chains, and the serial up-front shingle
+          // build delayed even the chains that never touch shingles
+          // (signatures, simhash, keeper, ivf). Now shingles and
+          // doc_sets are ordinary EARLY chains — dependents block on
+          // their dir locks, independents overlap their builds — and
+          // the lock graph follows the staging DAG (acyclic), so
+          // all-at-once submission cannot deadlock. Measured: PERF §34.
+          val work: Seq[(String, () => Unit)] =
+            Seq[(String, () => Unit)](
+              // shared roots of the DAG, submitted first
+              "shingles" -> (() => shingleTable(spark, sfDir): Unit),
+              // doc_sets gates BOTH presets' verifies; as its own early
+              // chain it lands as soon as shingles do, instead of
+              // behind prefixTable inside the prefix chain
+              "docsets" -> (() => docSetsTable(spark, sfDir): Unit)) ++
+            // candTable builds its sigTable dependency read-through; NOT
+            // stageSignatures, which would also rebuild simhash in every
+            // preset chain and serialize them on its table lock.
+            // defaultParams first: its verified table gates the flags
+            // chain (dedupKeepList), making it the critical path
+            presets.map(p => s"minhash-h${p.numHashes}" -> (() =>
+              verifiedTable(spark, sfDir, p): Unit)) ++
+            Seq[(String, () => Unit)](
+              "simhash" -> (() => simhashTable(spark, sfDir): Unit),
+              "prefix" -> (() => {
+                prefixTable(spark, sfDir, prefixThreshold): Unit
+                docSetsTable(spark, sfDir): Unit
+              }),
+              "contain" -> (() => containCandTable(spark, sfDir): Unit),
+              // corpus span census (q80/q81 + the streaming gate's batch
+              // confirm path): cand hashes then the affected-doc list
+              "spans" -> (() => {
+                CorpusOps.spanCandTable(spark, sfDir): Unit
+                CorpusOps.spanDocsTable(spark, sfDir): Unit
+              }),
+              "keeper" -> (() => keeperTable(spark, sfDir): Unit),
+              // per-doc funnel stage-flags (q63): consumes the keeper and
+              // verified tables read-through (the dir locks serialize it
+              // behind the chains building them) plus the q51/q48 subtrees
+              "flags" -> (() => CorpusOps.stageFlagsTable(spark, sfDir): Unit)) ++
+            (if (ivf) Seq[(String, () => Unit)](
+              "ivf" -> (() => EmbeddingOps.stageIvf(spark, sfDir): Unit))
+             else Nil)
+          pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
           implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
           // Staging's root override is thread-local; re-pin it (and a
           // distinguishable job group) inside each worker thread
@@ -193,32 +240,7 @@ object DedupOps {
               }
             }
           }
-          val chains =
-            // candTable builds its sigTable dependency read-through; NOT
-            // stageSignatures, which would also rebuild simhash in every
-            // preset chain and serialize them on its table lock
-            presets.map(p => chain(s"minhash-h${p.numHashes}") {
-              verifiedTable(spark, sfDir, p): Unit // builds sig + cand read-through
-            }) ++
-            Seq(chain("simhash") { simhashTable(spark, sfDir): Unit }) ++
-            Seq(chain("prefix") {
-              prefixTable(spark, sfDir, prefixThreshold): Unit
-              docSetsTable(spark, sfDir): Unit
-            }) ++
-            Seq(chain("contain") { containCandTable(spark, sfDir): Unit }) ++
-            // corpus span census (q80/q81 + the streaming gate's batch
-            // confirm path): cand hashes then the affected-doc list
-            Seq(chain("spans") {
-              CorpusOps.spanCandTable(spark, sfDir): Unit
-              CorpusOps.spanDocsTable(spark, sfDir): Unit
-            }) ++
-            Seq(chain("keeper") { keeperTable(spark, sfDir): Unit }) ++
-            // per-doc funnel stage-flags (q63): consumes the keeper and
-            // verified tables read-through (the dir locks serialize it
-            // behind the chains building them) plus the q51/q48 subtrees
-            Seq(chain("flags") { CorpusOps.stageFlagsTable(spark, sfDir): Unit }) ++
-            (if (ivf) Seq(chain("ivf") { EmbeddingOps.stageIvf(spark, sfDir): Unit })
-             else Nil)
+          val chains = work.map { case (tag, body) => chain(tag)(body()) }
           Await.result(Future.sequence(chains), Duration.Inf): Unit
         } finally {
           if (pool != null) pool.shutdown()
