@@ -518,7 +518,32 @@ object DedupOps {
     val bands0 = bandSig.select(col("doc_id"), explode(expr(bandHashExpr)).as("bk"))
     // --- guard stage 2: per-bucket membership cap --------------------------
     SkewGuard.maybeLogOverflow(bands0, "bk", g.maxBucket, g.logOverflow, "lshCandidates")
-    val bands = SkewGuard.capBuckets(bands0, "bk", "doc_id", g.maxBucket)
+    // The capped band stream feeds BOTH sides of the self-join, and
+    // stage reuse does not fire across a self-join's sides (the PERF
+    // §30 observation) — so without materialization everything above
+    // this point executes twice: the collapse's fingerprint windows,
+    // the explode, and the bucket-cap window. Materialize it once when
+    // the collapse is active (the expensive-subtree case; the plain
+    // explode is cheaper to recompute than to cache). 16 B/row ×
+    // numBands rows/doc ≈ 130 MB at h128/100×, distributed across
+    // executors at cluster scale; persist — NOT localCheckpoint — so
+    // lineage survives block loss. Caller-session cache-lifetime
+    // contract as documented at the top of this file.
+    //
+    // NOT inside a stageAll window (PERF §35): the measured win is the
+    // un-contended library call (h8 banding 25 → 15 s, h128 9.5 → 4 s
+    // at 100×); under the staging DAG's all-at-once concurrency the
+    // same persist measured level-to-worse (the fill job serializes a
+    // chain segment other chains' work no longer hides), so the
+    // staging chains keep the recompute shape there.
+    // SPARK_GRAFT_BAND_PERSIST=off: A/B instrument behind PERF §35.
+    val bands = {
+      val capped = SkewGuard.capBuckets(bands0, "bk", "doc_id", g.maxBucket)
+      if (g.maxGroupAllPairs == Int.MaxValue ||
+          stagingSessions.contains(sig.sparkSession) ||
+          sys.env.get("SPARK_GRAFT_BAND_PERSIST").contains("off")) capped
+      else capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
