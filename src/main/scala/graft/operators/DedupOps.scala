@@ -469,6 +469,18 @@ object DedupOps {
           .withColumn("__fsz", count(lit(1)).over(wfp))
           .where(col("__fsz") > g.maxGroupAllPairs)
           .select("doc_id", "__fp")
+          // Referenced by the anti-join branch of BOTH self-join sides
+          // plus the star emission, and stage reuse does not fire
+          // across those references — without materialization the
+          // corpus-wide fingerprint window runs once PER reference.
+          // The output is tiny (only members of oversized groups,
+          // usually none), so this is safe inside a stageAll window
+          // where the full band-stream persist is not (PERF §35).
+          // persist + eager count, not localCheckpoint: the frame is
+          // small but its lineage is the full census — keep it
+          // recomputable on block loss.
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        suspectIds.count(): Unit
         // Pass 2: the EXACT group logic of the original form, on the
         // suspect subset only. The suspect id list is joined hint-free
         // (AQE broadcasts it while small; a pathological all-dups
