@@ -771,17 +771,29 @@ object CorpusOps {
       // the LONGEST chain's dir lock. The q51 quality and q48 decontam
       // subtrees depend on nothing the dedup chains build (documents +
       // shingles only), so under a staging root they are materialized
-      // EAGERLY first (localCheckpoint: one tiny pinned frame each,
-      // ~doc_count rows of flags) and their execution overlaps the
-      // verify build instead of serializing behind it; the final write
-      // is then three cheap joins. Unstaged callers keep the original
-      // single-job lazy shape.
+      // EAGERLY first (~doc_count rows of flags each) and their
+      // execution overlaps the verify build instead of serializing
+      // behind it; the final write is then three cheap joins. persist,
+      // not localCheckpoint: the frames are small but their lineage is
+      // the two subtrees — keep them recomputable on block loss (a
+      // truncated checkpoint lost while this chain waits ~the longest
+      // chain's wall on the verified lock would kill the whole
+      // stageAll at its very end). ONE union-count fills both caches
+      // in a single job, so the two subtrees run as concurrent stages
+      // rather than back-to-back actions. Unstaged callers keep the
+      // original single-job lazy shape.
+      val staging = Staging.root.isDefined
       def eager(df: DataFrame): DataFrame =
-        if (Staging.root.isDefined) df.localCheckpoint() else df
+        if (staging)
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else df
       val q = eager(qualityFilter(spark, sfDir).where(col("pass") === 1)
         .select("doc_id").withColumn("f_q", lit(true)))
       val dc = eager(decontaminate(spark, sfDir).where(col("contaminated") === 0)
         .select("doc_id").withColumn("f_dc", lit(true)))
+      if (staging)
+        q.select(lit(1L).as("one")).unionAll(dc.select(lit(1L).as("one")))
+          .count(): Unit
       val keeper = DedupOps.keeperTable(spark, sfDir)
       keeper
         .join(DedupOps.dedupKeepList(spark, sfDir).select("doc_id")

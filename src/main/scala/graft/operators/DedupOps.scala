@@ -69,8 +69,13 @@ object DedupOps {
   // fingerprint in the staging key) live in graft.operators.Staging
   //
   // Cache-lifetime contract for the persist() FALLBACK sites (active
-  // only when staging is off — sigTable, sharedShingles, simhashPairs,
-  // and the `*Of` library entries over arbitrary frames): each persist
+  // mainly when staging is off — sigTable, sharedShingles,
+  // simhashPairs, and the `*Of` library entries over arbitrary frames
+  // — plus two small STAGED-build persists that live inside a staged
+  // compute and are not reachable for unpersist after the parquet
+  // promote: the banding suspect census here and stage_flags' q51/q48
+  // flag frames in CorpusOps; both are a few columns of doc_ids, one
+  // entry per corpus/preset): each persist
   // backs multiple references to the same subtree INSIDE the returned
   // lazy plan, so the function cannot unpersist before returning (the
   // q79 `finally unpersist` pattern at prefixJaccardPairsOf applies
@@ -203,10 +208,11 @@ object DedupOps {
               verifiedTable(spark, sfDir, p): Unit)) ++
             Seq[(String, () => Unit)](
               "simhash" -> (() => simhashTable(spark, sfDir): Unit),
-              "prefix" -> (() => {
-                prefixTable(spark, sfDir, prefixThreshold): Unit
-                docSetsTable(spark, sfDir): Unit
-              }),
+              // (no docSetsTable here: the dedicated docsets chain owns
+              // it — a second call would only block on its dir lock and
+              // bill that wait to the prefix chain's [stage] line)
+              "prefix" -> (() =>
+                prefixTable(spark, sfDir, prefixThreshold): Unit),
               "contain" -> (() => containCandTable(spark, sfDir): Unit),
               // corpus span census (q80/q81 + the streaming gate's batch
               // confirm path): cand hashes then the affected-doc list
@@ -241,7 +247,27 @@ object DedupOps {
             }
           }
           val chains = work.map { case (tag, body) => chain(tag)(body()) }
-          Await.result(Future.sequence(chains), Duration.Inf): Unit
+          try Await.result(Future.sequence(chains), Duration.Inf): Unit
+          catch {
+            case t: Throwable =>
+              // Future.sequence fails FAST: the other chains are still
+              // running when the first failure surfaces. The enclosing
+              // finally restores the broadcast thresholds and clears
+              // the stagingSessions marker — doing that while chains
+              // still run would hand the surviving chains uncapped
+              // broadcast plans (the exact OOM class the cap exists
+              // for) and flip the staging-gated behaviors mid-flight.
+              // So: cancel every chain's job group, then WAIT for the
+              // pool to drain before the finally runs. The wait is
+              // bounded: a chain blocked on a dir lock whose builder
+              // died may start its own (uncancelled) rebuild — after
+              // the timeout we proceed and accept the smaller risk.
+              work.foreach { case (tag, _) =>
+                spark.sparkContext.cancelJobGroup(s"graft-stage-$tag") }
+              pool.shutdown()
+              pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES): Unit
+              throw t
+          }
         } finally {
           if (pool != null) pool.shutdown()
           bcastSaved.foreach {
@@ -476,11 +502,16 @@ object DedupOps {
           // The output is tiny (only members of oversized groups,
           // usually none), so this is safe inside a stageAll window
           // where the full band-stream persist is not (PERF §35).
-          // persist + eager count, not localCheckpoint: the frame is
-          // small but its lineage is the full census — keep it
-          // recomputable on block loss.
+          // persist, not localCheckpoint: the frame is small but its
+          // lineage is the full census — keep it recomputable on
+          // block loss.
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        suspectIds.count(): Unit
+        // Eager fill ONLY inside a stageAll window, where the chain is
+        // about to materialize everything anyway; library/unstaged
+        // callers keep the documented lazy-construction contract (the
+        // persist still dedupes the references — block locks serialize
+        // per-partition computes when the consuming job runs).
+        if (stagingSessions.contains(sig.sparkSession)) suspectIds.count(): Unit
         // Pass 2: the EXACT group logic of the original form, on the
         // suspect subset only. The suspect id list is joined hint-free
         // (AQE broadcasts it while small; a pathological all-dups
