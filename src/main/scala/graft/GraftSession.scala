@@ -26,6 +26,15 @@ object GraftSession {
       .builder()
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
+      // FAIR task scheduling across concurrent jobs: with one query at
+      // a time this is inert (a single job owns every slot either
+      // way); during stageAll's all-at-once chain DAG it stops an
+      // early-submitted chain's wide stage from starving the
+      // critical-path chain's next stage of task slots (FIFO offers
+      // slots strictly in job-submission order). A/B: PERF §36.
+      // SPARK_GRAFT_SCHEDULER=FIFO restores the old behavior.
+      .config("spark.scheduler.mode",
+        sys.env.getOrElse("SPARK_GRAFT_SCHEDULER", "FAIR"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
