@@ -780,9 +780,12 @@ object CorpusOps {
       // chain's wall on the verified lock would kill the whole
       // stageAll at its very end). ONE union-count fills both caches
       // in a single job, so the two subtrees run as concurrent stages
-      // rather than back-to-back actions. Unstaged callers keep the
-      // original single-job lazy shape.
-      val staging = Staging.root.isDefined
+      // rather than back-to-back actions. Gated on stageAll CHAIN
+      // membership (thread-local): a query-time cold call — staging
+      // root set but stage_flags not yet built — has no concurrent
+      // verify build to overlap, so it keeps the original single-job
+      // lazy shape (no extra blocking job, no pinned caches).
+      val staging = Staging.inStagingChain
       def eager(df: DataFrame): DataFrame =
         if (staging)
           df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -233,10 +233,22 @@ object DedupOps {
           // Staging's root override is thread-local; re-pin it (and a
           // distinguishable job group) inside each worker thread
           def chain(tag: String)(body: => Unit): Future[Unit] = Future {
-            Staging.withRoot(someRoot) {
+            Staging.withRoot(someRoot) { Staging.withinStagingChain {
               spark.sparkContext.setJobGroup(s"graft-stage-$tag", tag, false)
+              // One FAIR pool PER CHAIN (local property, thread-scoped):
+              // under spark.scheduler.mode=FAIR the root pool round-
+              // robins slot offers across pools, so the critical-path
+              // chain's next stage gets slots even while an earlier
+              // chain's wide stage is still draining — the by-design
+              // mechanism behind the §36 wall win (a single default
+              // pool schedules its jobs FIFO internally). Pools spring
+              // into existence on first use with default weight/
+              // minShare; under FIFO mode the property is inert.
+              spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", s"graft-stage-$tag")
               val t0 = System.nanoTime()
               try body finally {
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
                 spark.sparkContext.clearJobGroup()
                 // per-chain wall seconds to stderr: chains run as
                 // concurrent jobs, so the bench's stage_dedup total says
@@ -244,7 +256,7 @@ object DedupOps {
                 System.err.println(
                   f"[stage] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
               }
-            }
+            } }
           }
           val chains = work.map { case (tag, body) => chain(tag)(body()) }
           try Await.result(Future.sequence(chains), Duration.Inf): Unit
@@ -262,10 +274,28 @@ object DedupOps {
               // bounded: a chain blocked on a dir lock whose builder
               // died may start its own (uncancelled) rebuild — after
               // the timeout we proceed and accept the smaller risk.
-              work.foreach { case (tag, _) =>
-                spark.sparkContext.cancelJobGroup(s"graft-stage-$tag") }
-              pool.shutdown()
-              pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES): Unit
+              // Everything below must not REPLACE t as the surfaced
+              // failure: an interrupt or cancellation hiccup during
+              // the drain is recorded as suppressed, and the original
+              // chain failure always propagates.
+              try {
+                work.foreach { case (tag, _) =>
+                  spark.sparkContext.cancelJobGroup(s"graft-stage-$tag") }
+                pool.shutdown()
+                if (!pool.awaitTermination(
+                      10, java.util.concurrent.TimeUnit.MINUTES)) {
+                  // A chain blocked on a dead builder's dir lock may
+                  // have started its own uncancelled rebuild. Second
+                  // cancel sweep + thread interrupts before giving up
+                  // the wait, so the finally's threshold restore can't
+                  // hand a still-running chain uncapped plans.
+                  work.foreach { case (tag, _) =>
+                    spark.sparkContext.cancelJobGroup(s"graft-stage-$tag") }
+                  pool.shutdownNow(): Unit
+                  pool.awaitTermination(
+                    1, java.util.concurrent.TimeUnit.MINUTES): Unit
+                }
+              } catch { case drain: Throwable => t.addSuppressed(drain) }
               throw t
           }
         } finally {
@@ -506,12 +536,14 @@ object DedupOps {
           // lineage is the full census — keep it recomputable on
           // block loss.
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // Eager fill ONLY inside a stageAll window, where the chain is
-        // about to materialize everything anyway; library/unstaged
-        // callers keep the documented lazy-construction contract (the
-        // persist still dedupes the references — block locks serialize
-        // per-partition computes when the consuming job runs).
-        if (stagingSessions.contains(sig.sparkSession)) suspectIds.count(): Unit
+        // Eager fill ONLY on a stageAll chain thread, where the chain
+        // is about to materialize everything anyway; library/unstaged
+        // callers — including ones that run CONCURRENTLY with a
+        // stageAll on the same session — keep the documented
+        // lazy-construction contract (the persist still dedupes the
+        // references — block locks serialize per-partition computes
+        // when the consuming job runs).
+        if (Staging.inStagingChain) suspectIds.count(): Unit
         // Pass 2: the EXACT group logic of the original form, on the
         // suspect subset only. The suspect id list is joined hint-free
         // (AQE broadcasts it while small; a pathological all-dups
@@ -573,17 +605,20 @@ object DedupOps {
     // lineage survives block loss. Caller-session cache-lifetime
     // contract as documented at the top of this file.
     //
-    // NOT inside a stageAll window (PERF §35): the measured win is the
-    // un-contended library call (h8 banding 25 → 15 s, h128 9.5 → 4 s
-    // at 100×); under the staging DAG's all-at-once concurrency the
-    // same persist measured level-to-worse (the fill job serializes a
-    // chain segment other chains' work no longer hides), so the
-    // staging chains keep the recompute shape there.
+    // NOT on a stageAll chain thread (PERF §35): the measured win is
+    // the un-contended library call (h8 banding 25 → 15 s, h128
+    // 9.5 → 4 s at 100×); under the staging DAG's all-at-once
+    // concurrency the same persist measured level-to-worse (the fill
+    // job serializes a chain segment other chains' work no longer
+    // hides), so the staging chains keep the recompute shape there —
+    // gated on CHAIN membership (thread-local), not on "a stageAll is
+    // in flight on this session", so a concurrent library caller's
+    // returned plan keeps the persist it will want after staging ends.
     // SPARK_GRAFT_BAND_PERSIST=off: A/B instrument behind PERF §35.
     val bands = {
       val capped = SkewGuard.capBuckets(bands0, "bk", "doc_id", g.maxBucket)
       if (g.maxGroupAllPairs == Int.MaxValue ||
-          stagingSessions.contains(sig.sparkSession) ||
+          Staging.inStagingChain ||
           sys.env.get("SPARK_GRAFT_BAND_PERSIST").contains("off")) capped
       else capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }

@@ -32,6 +32,15 @@ private[graft] object Staging {
   def withRoot[T](root: Option[String])(body: => T): T =
     overrideRoot.withValue(Some(root))(body)
 
+  /** True exactly on the worker threads of a `stageAll` chain (set by
+    * stageAll around each chain body). Distinguishes "this call IS
+    * part of the staging DAG" from "a stageAll happens to be in
+    * flight on this session" — the latter must not change the plan
+    * shape of concurrent library callers on other threads. */
+  private val inChain = new scala.util.DynamicVariable[Boolean](false)
+  def withinStagingChain[T](body: => T): T = inChain.withValue(true)(body)
+  def inStagingChain: Boolean = inChain.value
+
   def root: Option[String] =
     overrideRoot.value.getOrElse(
       sys.props.get("graft.stage.dir") match {
