@@ -145,4 +145,29 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(out.map(_.purchaseOrderId) == Seq("OK"))
     assert(attempts.get() == 4)
   }
+
+  test("lshCandidatesOf plan construction runs zero Spark jobs (r14 review: lazy library contract)") {
+    // The banding suspect census is persisted and (inside a stageAll
+    // chain only) eagerly counted; a library caller constructing a
+    // plan must not trigger ANY job — merely calling lshCandidatesOf
+    // or explaining its plan used to run the corpus census.
+    val jobs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val docs = (1L to 50L).map(i => (i, s"alpha beta gamma delta $i"))
+        .toDF("doc_id", "text")
+      val plan = graft.operators.DedupOps.lshCandidatesOf(docs)
+      plan.queryExecution.executedPlan: Unit // force full planning
+      // listener events are async: give the bus a moment to drain
+      Thread.sleep(500)
+      assert(jobs.get() == 0,
+        s"plan construction ran ${jobs.get()} Spark job(s); must be lazy")
+      assert(plan.count() >= 0) // the plan itself still executes fine
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
