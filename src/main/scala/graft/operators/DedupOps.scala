@@ -614,12 +614,15 @@ object DedupOps {
     // gated on CHAIN membership (thread-local), not on "a stageAll is
     // in flight on this session", so a concurrent library caller's
     // returned plan keeps the persist it will want after staging ends.
-    // SPARK_GRAFT_BAND_PERSIST=off: A/B instrument behind PERF §35.
+    // SPARK_GRAFT_BAND_PERSIST: A/B instrument behind PERF §35 —
+    // "off" disables the persist everywhere, "force" enables it even
+    // on stageAll chain threads.
     val bands = {
       val capped = SkewGuard.capBuckets(bands0, "bk", "doc_id", g.maxBucket)
+      val envBp = sys.env.get("SPARK_GRAFT_BAND_PERSIST")
       if (g.maxGroupAllPairs == Int.MaxValue ||
-          Staging.inStagingChain ||
-          sys.env.get("SPARK_GRAFT_BAND_PERSIST").contains("off")) capped
+          envBp.contains("off") ||
+          (Staging.inStagingChain && !envBp.contains("force"))) capped
       else capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val cand = bands.as("x").join(bands.as("y"),
