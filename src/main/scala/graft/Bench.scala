@@ -55,6 +55,35 @@ object Bench {
       java.nio.charset.StandardCharsets.UTF_8).trim
     catch { case _: Throwable => "" }
 
+  /** 1-minute load average parsed from a /proc/loadavg line; NaN when
+    * unavailable (non-Linux) so the gate stays open off-Linux. */
+  private[graft] def load1(line: String): Double =
+    line.split("\\s+").headOption.flatMap(_.toDoubleOption).getOrElse(Double.NaN)
+
+  /** Contention gate (VERDICT r14 #3): the r14 end-of-round artifacts
+    * started at loadavg ~18 and carry 2.3×-drifted entries (q81 9.71 s
+    * committed vs 4.6 s same-code quiet-box) — the calibration probe
+    * can't catch it because load average LAGS and the contending run
+    * may finish mid-bench. Same loud-failure doctrine as
+    * [[artifactValid]]: a run that STARTS contended records a
+    * `contention` error, which invalidates the artifact, instead of
+    * committing numbers that are box noise. Threshold default 4.0
+    * (this box idles <1 between rounds; a concurrent bench JVM pushes
+    * 1-min load past 10 within a minute); override via
+    * SPARK_GRAFT_LOADAVG_MAX, `off` disables (deliberate loaded-box
+    * experiments must self-identify in PERF instead). */
+  private[graft] def loadavgMax: Option[Double] =
+    sys.env.getOrElse("SPARK_GRAFT_LOADAVG_MAX", "4.0") match {
+      case "off" => None
+      case s     => s.toDoubleOption.orElse(Some(4.0))
+    }
+  private[graft] def contentionError(startLine: String): Option[String] = {
+    val l1 = load1(startLine)
+    loadavgMax.collect { case max if l1.isNaN == false && l1 > max =>
+      f"loadavg_start $l1%.2f > $max%.2f: box contended, artifact not comparable"
+    }
+  }
+
   /** Contention guard (round-11, VERDICT r10 #1): a FIXED pure-CPU
     * calibration query — `sum(id % 7)` over a 400M-row range across 32
     * local threads — whose cost is independent of every repo code path
@@ -85,6 +114,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // contention probe FIRST, before the session/warmup add our own
+    // 32 threads to the 1-min average — this reading is the prior
+    // box state, which is what the gate is about
+    val loadBoot = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional comma-separated query-name filter (scaling experiments on
     // dirs that carry only a table subset); absent = the full suite
@@ -104,6 +137,10 @@ object Bench {
     if (drift.nonEmpty) {
       drift.foreach(d => println(s"[tripwire] DEVIATION $d"))
       errors("schema_tripwire") = drift.mkString("; ").take(480)
+    }
+    contentionError(loadBoot).foreach { msg =>
+      println(s"[contention] $msg")
+      errors("contention") = msg
     }
 
     /** Median-of-`reps` seconds for `body`; failures recorded under
@@ -189,6 +226,7 @@ object Bench {
       s""""calib_start_sec":${f4(calibStart)},""" +
       s""""calib_end_sec":${f4(calibEnd)},""" +
       s""""calib_series":[${(calibStartRuns ++ calibMid ++ calibEndRuns).map(f4).mkString(",")}],""" +
+      s""""loadavg_boot":"${esc(loadBoot)}",""" +
       s""""loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}""""
     // headline total over SUCCESSFUL queries only — summing the -1.0
     // failure sentinels made a broken run look FASTER (the r11 artifact
@@ -217,6 +255,23 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // per-run history (VERDICT r14 #4): bench_full_latest.json is a
+      // POINTER that each refresh overwrites — the §36-window 162.5 s
+      // run's per-query record was lost exactly that way, leaving the
+      // r14 drift claims uncheckable. Every run also appends an
+      // immutable copy keyed by wall-clock run id + sf tag; nothing
+      // ever overwrites it (CREATE_NEW throws on collision rather than
+      // clobbering).
+      val runId = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      val sfTag = sfDir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9._-]", "_")
+      val hist = out.getParent.resolve("history")
+        .resolve(s"bench_${runId}_$sfTag.json")
+      java.nio.file.Files.createDirectories(hist.getParent)
+      java.nio.file.Files.write(hist,
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
     } catch { case _: java.io.IOException => () } // read-only cwd: line still prints
     def short(name: String): String =
       if (name.matches("q\\d+_.*")) name.takeWhile(_ != '_') else name

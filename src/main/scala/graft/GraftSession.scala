@@ -48,9 +48,18 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests/tools; cluster deployments pass their own
-    * master via spark-submit and only inherit the SQL conf above. */
+    * master via spark-submit and only inherit the SQL conf above.
+    *
+    * SPARK_GRAFT_MASTER overrides the master URL — the instrument
+    * behind the multi-executor smoke runs (VERDICT r14 stretch #8):
+    * `local-cluster[2,4,4096]` launches two real executor JVMs with
+    * separate block managers and a real network shuffle, closing the
+    * "local-mode artifact" caveat on scheduler/staging claims without
+    * a cluster. Requires SPARK_HOME (+ worker JVMs inherit
+    * spark.executor.memory from the bracket args). */
   def local(appName: String = "graft"): SparkSession = {
-    val s = builder(appName).master(s"local[$cpus]").getOrCreate()
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val s = builder(appName).master(master).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

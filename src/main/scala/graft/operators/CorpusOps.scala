@@ -794,9 +794,15 @@ object CorpusOps {
         .select("doc_id").withColumn("f_q", lit(true)))
       val dc = eager(decontaminate(spark, sfDir).where(col("contaminated") === 0)
         .select("doc_id").withColumn("f_dc", lit(true)))
-      if (staging)
+      if (staging) {
         q.select(lit(1L).as("one")).unionAll(dc.select(lit(1L).as("one")))
           .count(): Unit
+        // chain-thread persists are consumed only by the stage_flags
+        // write — release them when it completes (r15 cleanup hook;
+        // previously a documented header leak in DedupOps)
+        Staging.registerComputeCleanup(() => q.unpersist(false)): Unit
+        Staging.registerComputeCleanup(() => dc.unpersist(false)): Unit
+      }
       val keeper = DedupOps.keeperTable(spark, sfDir)
       keeper
         .join(DedupOps.dedupKeepList(spark, sfDir).select("doc_id")

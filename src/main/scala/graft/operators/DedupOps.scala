@@ -70,12 +70,12 @@ object DedupOps {
   //
   // Cache-lifetime contract for the persist() FALLBACK sites (active
   // mainly when staging is off — sigTable, sharedShingles,
-  // simhashPairs, and the `*Of` library entries over arbitrary frames
-  // — plus two small STAGED-build persists that live inside a staged
-  // compute and are not reachable for unpersist after the parquet
-  // promote: the banding suspect census here and stage_flags' q51/q48
-  // flag frames in CorpusOps; both are a few columns of doc_ids, one
-  // entry per corpus/preset): each persist
+  // simhashPairs, and the `*Of` library entries over arbitrary frames.
+  // The STAGED-build persists — the banding suspect census, the band
+  // stream, stage_flags' q51/q48 flag frames in CorpusOps — are no
+  // longer leak sites: each registers a write-completion cleanup via
+  // Staging.registerComputeCleanup and is unpersisted the moment the
+  // parquet promote that consumed it finishes): each remaining persist
   // backs multiple references to the same subtree INSIDE the returned
   // lazy plan, so the function cannot unpersist before returning (the
   // q79 `finally unpersist` pattern at prefixJaccardPairsOf applies
@@ -87,6 +87,12 @@ object DedupOps {
   // measurement — or session stop releases them. Long-lived drivers
   // cycling many DISTINCT unstaged corpora should either enable
   // staging or clearCache() between corpora.
+  //
+  // The band-stream persist in lshCandidatesFrom is the one site with
+  // an EXPLICIT lifecycle (r15, ADVICE r14): consumed by a staged
+  // write → auto-unpersisted via Staging's write-completion hook;
+  // taken by a library call → tracked per session and releasable with
+  // [[releaseBandCache]].
 
   /** Run `body` with an explicit staging root (`Some(dir)`) or staging
     * disabled (`None`), scoped to the current thread — concurrent
@@ -536,6 +542,11 @@ object DedupOps {
           // lineage is the full census — keep it recomputable on
           // block loss.
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Inside a staged write the census is consumed only by that
+        // write — release it when the write completes (r15 cleanup
+        // hook; previously a documented header leak). Outside one the
+        // persist backs the returned lazy plan and stays caller-owned.
+        Staging.registerComputeCleanup(() => suspectIds.unpersist(false)): Unit
         // Eager fill ONLY on a stageAll chain thread, where the chain
         // is about to materialize everything anyway; library/unstaged
         // callers — including ones that run CONCURRENTLY with a
@@ -617,13 +628,27 @@ object DedupOps {
     // SPARK_GRAFT_BAND_PERSIST: A/B instrument behind PERF §35 —
     // "off" disables the persist everywhere, "force" enables it even
     // on stageAll chain threads.
+    // Lifecycle (ADVICE r14 / r15 #7): inside a staged write the
+    // persist is consumed exactly once by the parquet write, so it
+    // unpersists via the write-completion hook; a pure library call
+    // registers it in the session's band-cache registry instead —
+    // same caller-session contract as before, but now releasable via
+    // [[releaseBandCache]] for long-lived sessions.
     val bands = {
       val capped = SkewGuard.capBuckets(bands0, "bk", "doc_id", g.maxBucket)
       val envBp = sys.env.get("SPARK_GRAFT_BAND_PERSIST")
       if (g.maxGroupAllPairs == Int.MaxValue ||
           envBp.contains("off") ||
           (Staging.inStagingChain && !envBp.contains("force"))) capped
-      else capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else {
+        val persisted =
+          capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!Staging.registerComputeCleanup(() => persisted.unpersist(false)))
+          bandCaches.computeIfAbsent(persisted.sparkSession,
+            _ => java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]())
+            .add(persisted): Unit
+        persisted
+      }
     }
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
@@ -645,6 +670,31 @@ object DedupOps {
       .select("doc_a", "doc_b", "est_jaccard")
       .unionByName(starPairs)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Band-stream persists taken by LIBRARY calls (outside any staged
+    * write), per session — the caller-session cache-lifetime contract
+    * made releasable. CacheManager keys entries by logical plan, so
+    * repeated calls over the same corpus reuse one entry; DISTINCT
+    * corpora accumulate one ~16 B/row band frame each until released. */
+  private val bandCaches =
+    new java.util.concurrent.ConcurrentHashMap[
+      SparkSession, java.util.Set[DataFrame]]()
+
+  /** Release every band-stream persist accumulated by library
+    * `lshCandidatesOf`/`lshCandidates` calls on `spark` (VERDICT r14
+    * stretch #7); returns how many frames were unpersisted. Long-lived
+    * sessions cycling many corpora should call this between corpora
+    * (or `spark.catalog.clearCache()`, which also drops unrelated
+    * caches). Safe while queries over those frames still run —
+    * unpersist is lazy-safe, the plan recomputes. */
+  def releaseBandCache(spark: SparkSession): Int = {
+    val set = bandCaches.remove(spark)
+    if (set == null) 0
+    else {
+      set.forEach(df => df.unpersist(false))
+      set.size
+    }
   }
 
   /** Sum as a balanced parenthesis tree: a flat left-nested `+` chain
@@ -1249,8 +1299,18 @@ object DedupOps {
     * Without the bucketing the arrays themselves were the shuffle
     * (~25 GB across the verify consumers at 100×). */
   private[graft] def docSetsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    // The STAGED table also carries the 64-bucket count sketch (`sk`,
+    // 128 B/doc — computed once at staging time, column-pruned away
+    // from consumers that don't ask for it): this is the bucketed
+    // sketch path past the broadcast ceiling (VERDICT r14 #2). The
+    // verify's bucket-aligned SMJ reads it in place alongside the
+    // hash arrays, so the sketch bound prunes pairs pre-intersect
+    // with ZERO extra exchange at ANY corpus size — where the
+    // broadcast prefilter has the explicit sketchMaxDocs cliff.
     val compute =
       setsFrom(sharedShingles(spark, sfDir).select("doc_id", "s", "h"))
+        .withColumn("sk",
+          graft.functions.BucketSketch.bucket_count_sketch(col("hs")))
     stagingRoot match {
       case None => compute
       case _ =>
@@ -1374,10 +1434,21 @@ object DedupOps {
   /** Corpus-size ceiling for the broadcast sketch prefilter: 2M docs
     * × (128 B sketch + row overhead) ≈ 400 MB in-heap per broadcast
     * relation — inside a 16 GiB (and the validated 8 GiB) driver.
-    * Beyond it the prefilter is SKIPPED (exactness never depends on
-    * it); a cluster-scale caller can bucket the sketch into doc_sets
-    * instead. */
+    * Beyond it the BROADCAST prefilter is skipped (exactness never
+    * depends on it) and the bound still applies in the verify's
+    * bucket-aligned SMJ via the doc_sets `sk` column
+    * ([[verifyHashPass]]) — the bucketed path has no ceiling, so past
+    * 2M docs q79/verify degrade gracefully to sketch-in-SMJ instead
+    * of falling off a cliff to raw intersects.
+    *
+    * SPARK_GRAFT_SKETCH_MAX_DOCS (env, or `graft.sketch.maxdocs`
+    * sys-prop for in-JVM specs) overrides — `0` forces the bucketed
+    * path at any size, the A/B instrument behind PERF §38. */
   private[graft] val sketchMaxDocs = 2000000L
+  private[graft] def sketchMaxDocsEff: Long =
+    sys.env.get("SPARK_GRAFT_SKETCH_MAX_DOCS")
+      .orElse(sys.props.get("graft.sketch.maxdocs"))
+      .flatMap(_.toLongOption).getOrElse(sketchMaxDocs)
 
   /** The prefilter ceiling while a `stageAll` window is open on the
     * session: the sketch attaches are EXPLICIT broadcast hints (the
@@ -1390,7 +1461,7 @@ object DedupOps {
     * chains fall back to the plain verify, which staging amortizes
     * anyway. */
   private[graft] def sketchDocCeiling(spark: SparkSession): Long =
-    if (stagingSessions.contains(spark)) sketchMaxDocs / 4 else sketchMaxDocs
+    if (stagingSessions.contains(spark)) sketchMaxDocsEff / 4 else sketchMaxDocsEff
 
   /** The ONE sketch-bound filter behind all three prefilter entry
     * points (PERF §29/§31/§33): attach both pair sides' broadcast
@@ -1410,8 +1481,14 @@ object DedupOps {
       aCol: String, bCol: String,
       sizeCols: Option[(String, String)]): DataFrame = {
     val tL = loosened(t)
-    val skCols = col("doc_id") +:
-      graft.functions.BucketSketch.bucket_count_sketch(col("hs")).as("__sk") +:
+    // reuse the staged doc_sets sketch column when present (written
+    // once at staging time) instead of re-hashing every hs array —
+    // the ~1.5 s broadcast-table build at 100× becomes a 128 B/doc
+    // column scan
+    val skSrc =
+      if (sets.columns.contains("sk")) col("sk")
+      else graft.functions.BucketSketch.bucket_count_sketch(col("hs"))
+    val skCols = col("doc_id") +: skSrc.as("__sk") +:
       (if (sizeCols.isEmpty) Seq(col("n")) else Nil)
     val sk = sets.select(skCols: _*)
     def side(keyOut: String, skOut: String, nOut: Option[String]) =
@@ -1479,19 +1556,38 @@ object DedupOps {
     * out so Q79Probe can attribute verify time between the bound pass
     * and the exact confirm. */
   private[graft] def verifyHashPass(cand: DataFrame, sets: DataFrame,
-                                    t: Double): DataFrame =
+                                    t: Double): DataFrame = {
+    // Bucketed sketch bound INSIDE the verify SMJ (VERDICT r14 #2):
+    // the per-doc sketches ride the same bucket-aligned attach as the
+    // hash arrays (`sk` is a doc_sets column when staged, computed in
+    // the scan stage otherwise — never an extra exchange), and the
+    // 64-min-ops bound filter sits BELOW the `iu` projection in the
+    // plan, so a sketch-rejected pair never pays the O(na+nb)
+    // sorted-intersect. Exact recall by the same Σ min(bucket counts)
+    // ≥ shared-shingles argument as [[sketchBoundFilter]], with the
+    // same ≥65535 saturation bypass. This is what survives past the
+    // broadcast prefilter's sketchMaxDocs ceiling: at ANY corpus size
+    // the flood pays 128 B compares instead of array intersects.
+    val skc =
+      if (sets.columns.contains("sk")) col("sk")
+      else graft.functions.BucketSketch.bucket_count_sketch(col("hs"))
+    val tL = loosened(t)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
-        col("n").as("na"), col("nh").as("nha")), "doc_a")
+        col("n").as("na"), col("nh").as("nha"), skc.as("__ska")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
-        col("n").as("nb"), col("nh").as("nhb")), "doc_b")
+        col("n").as("nb"), col("nh").as("nhb"), skc.as("__skb")), "doc_b")
+      .withColumn("__ub",
+        graft.functions.BucketSketch.bucket_min_sum(col("__ska"), col("__skb")))
+      .where(col("na") >= 65535 || col("nb") >= 65535 ||
+             col("__ub") * lit(1.0) / (col("na") + col("nb") - col("__ub")) >= tL)
       .withColumn("iu",
         graft.functions.SortedIntersectCount
           .sorted_intersect_count(col("ha"), col("hb")) +
         least(col("na") - col("nha"), col("nb") - col("nhb")))
-      .where(col("iu") * lit(1.0) / (col("na") + col("nb") - col("iu")) >=
-             loosened(t))
+      .where(col("iu") * lit(1.0) / (col("na") + col("nb") - col("iu")) >= tL)
       .select("doc_a", "doc_b")
+  }
 
   private[graft] def verifyPrefixPairs(cand: DataFrame, sets: DataFrame,
                                 t: Double): DataFrame = {

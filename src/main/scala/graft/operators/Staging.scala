@@ -22,7 +22,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object Staging {
 
   /** Bump when any staged-table semantics change. */
-  private val stageVersion = "v3" // r11: doc_sets is doc_id-bucketed
+  private val stageVersion = "v4" // r15: doc_sets carries the sketch column
 
   private val overrideRoot =
     new scala.util.DynamicVariable[Option[Option[String]]](None)
@@ -36,10 +36,25 @@ private[graft] object Staging {
     * stageAll around each chain body). Distinguishes "this call IS
     * part of the staging DAG" from "a stageAll happens to be in
     * flight on this session" — the latter must not change the plan
-    * shape of concurrent library callers on other threads. */
-  private val inChain = new scala.util.DynamicVariable[Boolean](false)
-  def withinStagingChain[T](body: => T): T = inChain.withValue(true)(body)
-  def inStagingChain: Boolean = inChain.value
+    * shape of concurrent library callers on other threads.
+    *
+    * Backed by a PLAIN ThreadLocal, deliberately not an inheritable
+    * one (ADVICE r14): a DynamicVariable is
+    * InheritableThreadLocal-backed, so any Spark-internal thread
+    * spawned from a chain thread (AQE stage materialization,
+    * broadcast exchanges, commit pools) would inherit `true` for its
+    * cached lifetime — a latent trap if a gating check ever moves
+    * into execution-time code. stageAll re-pins the flag explicitly
+    * per worker thread, so nothing needs inheritance. */
+  private val inChain = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  def withinStagingChain[T](body: => T): T = {
+    val prev = inChain.get()
+    inChain.set(true)
+    try body finally inChain.set(prev)
+  }
+  def inStagingChain: Boolean = inChain.get()
 
   def root: Option[String] =
     overrideRoot.value.getOrElse(
@@ -90,9 +105,58 @@ private[graft] object Staging {
   /** Per-destination write locks: concurrent builds of DIFFERENT
     * staged tables proceed in parallel (the staging DAG's independent
     * chains run as concurrent Spark jobs); only same-table callers
-    * serialize, so the compute runs once per table. */
+    * serialize, so the compute runs once per table.
+    *
+    * ReentrantLock acquired via lockInterruptibly, NOT an intrinsic
+    * monitor (ADVICE r14): stageAll's failure drain interrupts chain
+    * threads, and monitor acquisition is uninterruptible — a chain
+    * blocked on a dead builder's dir lock would ride out the drain
+    * and proceed into an uncancelled rebuild AFTER the finally
+    * restored uncapped broadcast thresholds (the exact OOM class the
+    * cap guards). An interruptible acquire makes the drain's second
+    * interrupt sweep reliably unblock such dependents. */
   private val dirLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.locks.ReentrantLock]()
+
+  private def withDirLock[T](dir: String)(body: => T): T = {
+    val lock = dirLocks.computeIfAbsent(
+      dir, _ => new java.util.concurrent.locks.ReentrantLock())
+    lock.lockInterruptibly()
+    try body finally lock.unlock()
+  }
+
+  /** Cleanup actions registered DURING a staged write's `compute`
+    * (plan construction + execution happen inside the write call on
+    * this thread) — run once the write finishes, success or failure.
+    * The consumer is the band-stream persist (DedupOps): a cold
+    * query-time read-through build takes the persist, the parquet
+    * write consumes it exactly once, and without this hook the blocks
+    * stayed pinned for the session with zero future readers (ADVICE
+    * r14). A stack, not a single slot: staged computes nest (a
+    * verified-table build reads sig/cand tables through), and an
+    * inner write must not fire an outer registration. */
+  private val computeCleanups =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[() => Unit]]()
+
+  /** Register `f` to run when the staged write currently in progress
+    * on this thread completes; false (not registered) when no staged
+    * write is in progress — the caller keeps ownership. */
+  def registerComputeCleanup(f: () => Unit): Boolean = {
+    val buf = computeCleanups.get()
+    if (buf == null) false else { buf += f; true }
+  }
+
+  private def withComputeCleanups[T](body: => T): T = {
+    val prev = computeCleanups.get()
+    val buf = new scala.collection.mutable.ArrayBuffer[() => Unit]()
+    computeCleanups.set(buf)
+    try body
+    finally {
+      computeCleanups.set(prev)
+      buf.foreach(f => try f() catch { case _: Throwable => () })
+    }
+  }
 
   def readThrough(spark: SparkSession, sfDir: String, table: String)
                  (compute: => DataFrame): DataFrame =
@@ -101,12 +165,14 @@ private[graft] object Staging {
       case Some(r) =>
         val dir = tableDir(r, sfDir, table)
         val dst = java.nio.file.Paths.get(dir)
-        dirLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+        withDirLock(dir) {
           if (!java.nio.file.Files.exists(dst.resolve("_SUCCESS"))) {
             val tmp = java.nio.file.Paths.get(
               dir + ".tmp-" + ProcessHandle.current().pid() + "-" +
                 java.util.UUID.randomUUID().toString.take(8))
-            compute.write.mode("overwrite").parquet(tmp.toString)
+            withComputeCleanups {
+              compute.write.mode("overwrite").parquet(tmp.toString)
+            }
             promote(tmp, dst)
           }
         }
@@ -138,7 +204,7 @@ private[graft] object Staging {
       case Some(r) =>
         val dir = tableDir(r, sfDir, table)
         val name = "graft_" + table + "_" + md5Hex(dir).take(12)
-        dirLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+        withDirLock(dir) {
           if (!spark.catalog.tableExists(name)) {
             val dst = java.nio.file.Paths.get(dir)
             if (java.nio.file.Files.exists(dst.resolve("_SUCCESS"))) {
@@ -146,10 +212,11 @@ private[graft] object Staging {
               spark.sql(s"CREATE TABLE $name ($ddl) USING PARQUET " +
                 s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
                 s"INTO $buckets BUCKETS LOCATION '$dir'"): Unit
-            } else
+            } else withComputeCleanups {
               compute.write.mode("overwrite")
                 .bucketBy(buckets, bucketCol).sortBy(bucketCol)
                 .option("path", dir).format("parquet").saveAsTable(name)
+            }
           }
         }
         spark.table(name)

@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.StreamingDedup
+
+/** Long-run streaming-admission soak (VERDICT r14 #5): a production
+  * admission gate is judged on p99 batch latency and on posting-table
+  * growth as the corpus ABSORBS admitted batches — medians over a
+  * handful of probes (PERF §14/§36) say nothing about either.
+  *
+  * Drive: stage the corpus band postings once (bucketed — the 100 TB
+  * layout), then run N micro-batch probes back-to-back. Every batch
+  * is half near-duplicates (mutation of existing corpus docs — the
+  * REJECT load) and half decorrelated new documents (the ADMIT load);
+  * after each probe the admitted half's postings are APPENDED to the
+  * bucketed table, so batch i+1 probes a corpus that has absorbed
+  * batches 1..i — including near-dups OF EARLIER ADMISSIONS, which a
+  * static-corpus measurement never exercises. Appends keep the bucket
+  * layout (bucketBy metadata checked by saveAsTable), so the probe
+  * join stays exchange-free on the corpus side for the whole run; the
+  * growth cost is file-count, reported below.
+  *
+  * Per batch: wall seconds, match rows, admitted rows, cumulative
+  * appended postings; every 10th batch also the posting table's file
+  * bytes + file count. Summary: p50 / p90 / p99 / max latency over
+  * all batches, first-10 vs last-10 mean (drift under growth), and
+  * the growth curve.
+  *
+  * Usage: runMain graft.tools.AdmissionSoak <sfDir> [nBatches]
+  *          [batchSize]   (defaults 100, 1000)
+  */
+object AdmissionSoak {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: AdmissionSoak <sfDir> [nBatches] [batchSize]")
+    val sfDir = args(0)
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(100)
+    val batchSize = args.lift(2).map(_.toLong).getOrElse(1000L)
+    val spark = graft.GraftSession.local("admission-soak")
+    import spark.implicits._
+
+    val table = "soak_corpus_bands"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val nDocs = docs.count()
+    val t0 = System.nanoTime()
+    StreamingDedup.stageCorpusBands(spark,
+      graft.operators.DedupOps.minhashSignaturesOf(docs), table)
+    println(f"[soak] staged $table from $nDocs docs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val tableDir = new java.io.File(
+      spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+        .where(col("col_name") === "Location").select("data_type")
+        .collect()(0).getString(0).stripPrefix("file:"))
+
+    def tableFootprint(): (Long, Int) = {
+      val fs = Option(tableDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-"))
+      (fs.map(_.length).sum, fs.length)
+    }
+
+    // deterministic batch material: batch b draws its docs by
+    // pmod(doc_id, m) == b % m — disjoint slices cycle through the
+    // corpus; the near-dup half keeps the text (signature-identical to
+    // its source → guaranteed match load), the admit half suffixes
+    // every token with the batch id (shingles disjoint from everything
+    // prior → admitted, and absorbed)
+    val m = math.max(1L, nDocs / math.max(batchSize, 1L))
+    val latencies = new Array[Double](nBatches)
+    var appended = 0L
+    val growth = scala.collection.mutable.ArrayBuffer[(Int, Long, Int)]()
+    (0 until nBatches).foreach { b =>
+      val slice = docs.where(pmod(col("doc_id"), lit(m)) === lit(b % m))
+      val dupHalf = slice.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select((col("doc_id") + lit(10000000000L) + lit(b) * 1000000L).as("doc_id"),
+          col("text"))
+      val newHalf = slice.where(pmod(col("doc_id"), lit(2)) === 1)
+        .select((col("doc_id") + lit(20000000000L) + lit(b) * 1000000L).as("doc_id"),
+          concat_ws(" ",
+            expr(s"transform(split(text, ' '), t -> concat(t, '~b$b'))")).as("text"))
+      val batch = dupHalf.unionByName(newHalf).localCheckpoint(true)
+      val s0 = System.nanoTime()
+      val matches = StreamingDedup.nearDupMatchesBucketed(batch, spark, table)
+        .localCheckpoint(true)
+      val nMatches = matches.count()
+      latencies(b) = (System.nanoTime() - s0) / 1e9
+      // absorb: admitted docs (no match) join the corpus posting table
+      val admitted = batch
+        .join(matches.select(col("new_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      val admittedSig = graft.operators.DedupOps.minhashSignaturesOf(admitted)
+      val p = graft.operators.DedupOps.defaultParams
+      val newPostings = admittedSig
+        .select(col("doc_id").as("corpus_id"),
+          array((0 until p.numHashes).map(i => col(s"mh$i")): _*).as("__sig"))
+        .withColumn("cbk", explode(expr(graft.operators.DedupOps.bandArrayExpr(p))))
+        .select(col("cbk"), col("corpus_id"), col("__sig").as("__csig"))
+      newPostings.write.mode("append")
+        .bucketBy(64, "cbk").sortBy("cbk")
+        .format("parquet").saveAsTable(table)
+      val nAdm = admitted.count()
+      appended += nAdm * p.numBands
+      if (b % 10 == 0 || b == nBatches - 1) {
+        val (bytes, files) = tableFootprint()
+        growth += ((b, bytes, files))
+        println(f"[soak] batch $b%3d wall=${latencies(b)}%.3f s matches=$nMatches " +
+          f"admitted=$nAdm postings+=$appended table=${bytes / 1e6}%.1f MB/$files files")
+      } else
+        println(f"[soak] batch $b%3d wall=${latencies(b)}%.3f s matches=$nMatches admitted=$nAdm")
+      spark.catalog.clearCache()
+    }
+    val sorted = latencies.sorted
+    def pct(p: Double) = sorted(math.min(sorted.length - 1,
+      math.ceil(p * sorted.length).toInt - 1))
+    val first10 = latencies.take(10).sum / math.min(10, latencies.length)
+    val last10 = latencies.takeRight(10).sum / math.min(10, latencies.length)
+    println(f"[soak] summary n=$nBatches batchSize=$batchSize " +
+      f"p50=${pct(0.50)}%.3f p90=${pct(0.90)}%.3f p99=${pct(0.99)}%.3f " +
+      f"max=${sorted.last}%.3f s first10mean=$first10%.3f last10mean=$last10%.3f")
+    growth.foreach { case (b, bytes, files) =>
+      println(f"[soak] growth batch=$b%3d bytes=${bytes / 1e6}%.1f MB files=$files") }
+    spark.stop()
+  }
+}

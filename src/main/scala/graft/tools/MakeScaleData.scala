@@ -67,6 +67,61 @@ object MakeScaleData {
   def scaledLineitem(spark: SparkSession, src: String, k: Int): DataFrame =
     replicated(Tables.lineitem(spark, src), "l_orderkey", k)
 
+  /** ADVERSARIALLY SKEWED lineitem (VERDICT r14 #6): the same K-fold
+    * fact replication, then two deterministic Zipf distortions that
+    * model a "mega supplier / mega order" warehouse:
+    *
+    *   - `l_suppkey` is REDRAWN from a Zipf(1) distribution over the
+    *     existing supplier keys: u = hash-uniform in (0,1),
+    *     key = minSupp + floor(range^u) - 1, so P(key ≤ x) ∝ ln x —
+    *     the heaviest supplier takes ~ln⁻¹(N) of ALL lineitems (at
+    *     10k suppliers, ~10% lands on the single hottest key, a ~1000×
+    *     over-representation vs uniform).
+    *   - a `hotFrac` slice of rows (default 10%, hash-selected) has
+    *     `l_orderkey` REDIRECTED to one of the three smallest source
+    *     order keys — three orders own 10% of the fact table, so the
+    *     orders⋈lineitem shuffle carries three pathological keys.
+    *
+    * Both rewrites keep referential integrity (every emitted key
+    * exists in supplier/orders), are pure column expressions (no
+    * action except the 3-row hot-key probe), and are deterministic in
+    * (src, k). Queries over the skewed dir return DIFFERENT (still
+    * well-defined) results than the uniform dir — this is a
+    * task-distribution stressor, not an oracle corpus. */
+  def scaledLineitemZipf(spark: SparkSession, src: String, k: Int,
+                         hotFrac: Double = 0.10): DataFrame = {
+    val supStats = Tables.supplier(spark, src)
+      .agg(min("s_suppkey").cast("long"), max("s_suppkey").cast("long"))
+      .collect()(0)
+    val (sMin, sMax) = (supStats.getLong(0), supStats.getLong(1))
+    val range = math.max(sMax - sMin + 1, 1L)
+    val hotKeys = Tables.orders(spark, src)
+      .select(col("o_orderkey").cast("long"))
+      .orderBy("o_orderkey").limit(3).collect().map(_.getLong(0))
+    val hotPct = math.round(hotFrac * 100)
+    val li = replicated(Tables.lineitem(spark, src), "l_orderkey", k)
+    val suppType = li.schema("l_suppkey").dataType.sql
+    val ordType = li.schema("l_orderkey").dataType.sql
+    li
+      // u in (0,1): 20-bit hash slice, offset half a ulp to avoid 0
+      .withColumn("__u",
+        (pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), lit(1)),
+          lit(1048576L)) + lit(0.5)) / lit(1048576.0))
+      .withColumn("l_suppkey",
+        (lit(sMin) + floor(pow(lit(range.toDouble), col("__u"))) - lit(1))
+          .cast(suppType))
+      .withColumn("l_orderkey",
+        when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), lit(2)),
+               lit(100L)) < lit(hotPct),
+          element_at(
+            array(hotKeys.map(lit(_)): _*),
+            (pmod(xxhash64(col("l_linenumber"), lit(3)), lit(3L)) + 1)
+              .cast("int"))
+            .cast(ordType))
+          .otherwise(col("l_orderkey")))
+      .drop("__u")
+  }
+
   def scaledOrders(spark: SparkSession, src: String, k: Int): DataFrame =
     replicated(Tables.orders(spark, src), "o_orderkey", k)
 
@@ -90,8 +145,9 @@ object MakeScaleData {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: MakeScaleData <srcSfDir> <dstDir> <k> [tpch]")
+      "usage: MakeScaleData <srcSfDir> <dstDir> <k> [tpch] [zipf]")
     val src = args(0); val dst = args(1); val k = args(2).toInt
+    val zipf = args.contains("zipf")
     val spark = GraftSession.local("graft-make-scale-data")
     scaledDocuments(spark, src, k)
       .repartition(GraftSession.cpus.toInt)
@@ -100,7 +156,8 @@ object MakeScaleData {
       .repartition(GraftSession.cpus.toInt)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     if (args.contains("tpch")) {
-      scaledLineitem(spark, src, k)
+      (if (zipf) scaledLineitemZipf(spark, src, k)
+       else scaledLineitem(spark, src, k))
         .repartition(GraftSession.cpus.toInt)
         .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
       scaledOrders(spark, src, k)

@@ -101,6 +101,49 @@ class BucketSketchSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bucketed sketch path (past the broadcast ceiling) is output-invariant") {
+    // VERDICT r14 #2: past sketchMaxDocs the broadcast prefilter is
+    // skipped and the bound must still hold pairs back inside the
+    // verify's bucket-aligned SMJ via the staged doc_sets `sk`
+    // column. Forcing the ceiling to 0 (sys-prop override) exercises
+    // exactly the past-ceiling plan; the pair set must be identical
+    // to the default (broadcast-prefiltered) plan, staged and
+    // unstaged.
+    val dir = "/root/testdata/sf0.01"
+    def q79pairs() =
+      graft.operators.DedupOps.prefixJaccardPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def q22pairs() =
+      graft.operators.DedupOps.jaccardVerify(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stageDir =
+      java.nio.file.Files.createTempDirectory("graft_sketch_bucketed").toString
+    try DedupOps.withStagingRoot(Some(stageDir)) {
+      // staged doc_sets must physically carry the sketch column
+      val sets = DedupOps.docSetsTable(spark, dir)
+      assert(sets.columns.contains("sk"),
+        "staged doc_sets must carry the sketch column")
+      val defaultQ79 = q79pairs()
+      val defaultQ22 = q22pairs()
+      assert(defaultQ79.nonEmpty && defaultQ22.nonEmpty)
+      sys.props("graft.sketch.maxdocs") = "0"
+      try {
+        assert(q79pairs() == defaultQ79,
+          "bucketed-path q79 pair set must match the broadcast path")
+        assert(q22pairs() == defaultQ22,
+          "bucketed-path LSH-verified pair set must match")
+      } finally sys.props.remove("graft.sketch.maxdocs"): Unit
+    } finally spark.catalog.clearCache()
+    // unstaged: no staged sk column — verifyHashPass computes the
+    // sketch in the scan stage; same invariance
+    DedupOps.withStagingRoot(None) {
+      sys.props("graft.sketch.maxdocs") = "0"
+      try assert(q79pairs().nonEmpty)
+      finally sys.props.remove("graft.sketch.maxdocs"): Unit
+    }
+    spark.catalog.clearCache()
+  }
+
   test("LSH verify prefilter (t=0.5) is output-invariant") {
     val dir = "/root/testdata/sf0.01"
     DedupOps.withStagingRoot(None) {

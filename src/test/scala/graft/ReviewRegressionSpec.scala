@@ -151,11 +151,23 @@ class ReviewRegressionSpec extends SparkSpec {
     // chain only) eagerly counted; a library caller constructing a
     // plan must not trigger ANY job — merely calling lshCandidatesOf
     // or explaining its plan used to run the corpus census.
-    val jobs = new AtomicInteger(0)
+    // Deterministic listener-bus drain (ADVICE r14): a fixed sleep can
+    // under-wait on a loaded box and pass spuriously. Instead, run a
+    // MARKER job (distinct job group) after plan construction: the bus
+    // delivers events to a listener in posting order, so once the
+    // marker's start event arrives, any job started during plan
+    // construction must already have been counted.
+    val nonMarkerJobs = new AtomicInteger(0)
+    val markerSeen = new java.util.concurrent.CountDownLatch(1)
+    val markerGroup = "graft-zero-jobs-marker"
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet(): Unit
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val group = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        if (group.contains(markerGroup)) markerSeen.countDown()
+        else nonMarkerJobs.incrementAndGet(): Unit
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -163,11 +175,53 @@ class ReviewRegressionSpec extends SparkSpec {
         .toDF("doc_id", "text")
       val plan = graft.operators.DedupOps.lshCandidatesOf(docs)
       plan.queryExecution.executedPlan: Unit // force full planning
-      // listener events are async: give the bus a moment to drain
-      Thread.sleep(500)
-      assert(jobs.get() == 0,
-        s"plan construction ran ${jobs.get()} Spark job(s); must be lazy")
+      spark.sparkContext.setJobGroup(markerGroup, "listener drain marker", false)
+      try spark.range(1).count(): Unit
+      finally spark.sparkContext.clearJobGroup()
+      assert(markerSeen.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "listener bus failed to deliver the marker job start")
+      assert(nonMarkerJobs.get() == 0,
+        s"plan construction ran ${nonMarkerJobs.get()} Spark job(s); must be lazy")
       assert(plan.count() >= 0) // the plan itself still executes fine
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      graft.operators.DedupOps.releaseBandCache(spark): Unit
+    }
+  }
+
+  test("band persist lifecycle: library calls releasable, staged builds self-clean (r15)") {
+    import graft.operators.DedupOps
+    spark.catalog.clearCache()
+    def persisted = spark.sparkContext.getPersistentRDDs.keySet
+    // library call: the band persist (plus the signature persist per
+    // the documented contract) accumulates; releaseBandCache frees the
+    // band frame specifically and reports it
+    val docs = (1L to 80L).map(i => (i, s"common shared text body $i"))
+      .toDF("doc_id", "text")
+    val before = persisted
+    DedupOps.lshCandidatesOf(docs).count(): Unit
+    val afterRun = persisted
+    assert((afterRun -- before).nonEmpty, "expected persisted frames after a library call")
+    val released = DedupOps.releaseBandCache(spark)
+    assert(released >= 1, s"expected >=1 band frame released, got $released")
+    assert(persisted.size < afterRun.size, "release must free blocks")
+    assert(DedupOps.releaseBandCache(spark) == 0, "second release is a no-op")
+    spark.catalog.clearCache()
+    // cold STAGED build (query-time read-through, not a stageAll chain):
+    // the band + suspect-census persists are consumed by the parquet
+    // write and must be auto-released by the write-completion hook —
+    // no persisted frames survive the build
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_band_lifecycle").toString
+    DedupOps.withStagingRoot(Some(root)) {
+      val pre = persisted
+      DedupOps.lshCandidates(spark, "/root/testdata/sf0.001").count(): Unit
+      val leaked = persisted -- pre
+      assert(leaked.isEmpty,
+        s"staged cold build leaked persisted RDDs: $leaked")
+      assert(DedupOps.releaseBandCache(spark) == 0,
+        "staged-build band persist must not land in the library registry")
+    }
+    spark.catalog.clearCache()
   }
 }

@@ -23,6 +23,41 @@ class SkewAuditSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
   }
 
+  test("AQE skew-join split FIRES on an adversarially skewed join (r15)") {
+    // VERDICT r14 #6: the conf assertion above says the defense is
+    // armed; this proves the mechanism actually cuts in on skewed
+    // data. One key owns 90% of the left side; thresholds are scaled
+    // to the test data size (the production 256 MiB default is the
+    // same mechanism at executor-memory scale); broadcast is disabled
+    // so the join is a genuine two-sided shuffle SMJ.
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 400000).selectExpr(
+        "case when id % 10 < 9 then 1 else id end as k", "id as v")
+      val right = spark.range(0, 50000).selectExpr("id as k", "id as w")
+      val joined = left.join(right, "k")
+      // execute THIS dataset's queryExecution (count() would build and
+      // run a separate one, leaving this adaptive plan un-finalized)
+      assert(joined.collect().length > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join split in the adaptive plan; got:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q67/q68/q77 shuffle reads stay within mean + 4 sigma per stage") {
     val dir = "/root/testdata/sf0.1"
     // (stageId, taskShuffleReadBytes)
