@@ -1219,11 +1219,18 @@ object DedupOps {
     val prefix = prefixTable(spark, sfDir, prefixThreshold)
     // sketch-filter the ENUMERATION while the corpus fits the
     // broadcast ceiling (parquet-metadata count — cheap); beyond it,
-    // the plain aggregate + SMJ verify, which is exact at any size
+    // the PAIR-GRAIN bucketed prefilter: aggregate first (58.7M pairs
+    // at 100×), then attach only the 128 B sketches via the
+    // bucket-aligned doc_sets SMJ and reject pre-verify — the verify
+    // then sees the same ~25.6k survivors as the broadcast path
+    // (PERF §38; exact at any size either way)
     val cand =
       if (Tables.documents(spark, sfDir).count() <= sketchDocCeiling(spark))
         candidatesSketchFiltered(prefix, sets, prefixThreshold)
-      else candidatesFrom(prefix, prefixThreshold)
+      else
+        sketchPrefilterBucketed(
+          candidatesWithSizesFrom(prefix, prefixThreshold), sets,
+          prefixThreshold)
     verifyPrefixPairs(cand, sets, prefixThreshold)
       .orderBy("doc_a", "doc_b")
   }
@@ -1249,7 +1256,13 @@ object DedupOps {
       val cand =
         if (nDocs <= sketchDocCeiling(docs.sparkSession))
           candidatesSketchFiltered(prefix, sets, t).localCheckpoint(true)
-        else candidatesFrom(prefix, t).localCheckpoint(true)
+        else
+          // pair-grain sketch rejection without the broadcast: the
+          // sketch side here is a per-doc projection of the unstaged
+          // set frame (136 B/doc exchange), still orders of magnitude
+          // lighter than handing every pair to the array verify
+          sketchPrefilterBucketed(candidatesWithSizesFrom(prefix, t),
+            sets, t).localCheckpoint(true)
       verifyPrefixPairs(cand, sets, t)
     } finally { prefix.unpersist(false): Unit }
   }
@@ -1479,7 +1492,8 @@ object DedupOps {
     * saturation) bypass the filter entirely. */
   private def sketchBoundFilter(pairs: DataFrame, sets: DataFrame, t: Double,
       aCol: String, bCol: String,
-      sizeCols: Option[(String, String)]): DataFrame = {
+      sizeCols: Option[(String, String)],
+      hint: Boolean = true): DataFrame = {
     val tL = loosened(t)
     // reuse the staged doc_sets sketch column when present (written
     // once at staging time) instead of re-hashing every hs array —
@@ -1491,9 +1505,15 @@ object DedupOps {
     val skCols = col("doc_id") +: skSrc.as("__sk") +:
       (if (sizeCols.isEmpty) Seq(col("n")) else Nil)
     val sk = sets.select(skCols: _*)
-    def side(keyOut: String, skOut: String, nOut: Option[String]) =
-      broadcast(sk.select(col("doc_id").as(keyOut) +: col("__sk").as(skOut) +:
-        nOut.map(col("n").as(_)).toSeq: _*))
+    // hint=false is the PAST-CEILING shape: no forced broadcast — the
+    // sketch side is the bucketed doc_sets projection (128 B/doc), so
+    // the attach plans a bucket-aligned SMJ in which only the pair
+    // side shuffles, at any corpus size (PERF §38)
+    def side(keyOut: String, skOut: String, nOut: Option[String]) = {
+      val proj = sk.select(col("doc_id").as(keyOut) +: col("__sk").as(skOut) +:
+        nOut.map(col("n").as(_)).toSeq: _*)
+      if (hint) broadcast(proj) else proj
+    }
     val (na, nb) = sizeCols.getOrElse(("__na", "__nb"))
     val attached = pairs
       .join(side(aCol, "__ska", if (sizeCols.isEmpty) Some("__na") else None), aCol)
@@ -1513,6 +1533,14 @@ object DedupOps {
                                      t: Double): DataFrame =
     sketchBoundFilter(candWithSizes, sets, t, "doc_a", "doc_b",
       Some(("na", "nb"))).select("doc_a", "doc_b")
+
+  /** [[sketchPrefilter]] without the broadcast — the PAST-CEILING
+    * pair-grain shape: sketches attach through the bucketed doc_sets
+    * SMJ (128 B/doc), only the pair side shuffles (PERF §38). */
+  private[graft] def sketchPrefilterBucketed(candWithSizes: DataFrame,
+      sets: DataFrame, t: Double): DataFrame =
+    sketchBoundFilter(candWithSizes, sets, t, "doc_a", "doc_b",
+      Some(("na", "nb")), hint = false).select("doc_a", "doc_b")
 
   /** [[sketchPrefilter]] for candidate frames that carry only
     * (doc_a, doc_b): the set sizes ride the same broadcast rows as

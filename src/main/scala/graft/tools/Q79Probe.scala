@@ -59,7 +59,25 @@ object Q79Probe {
         DedupOps.verifyPrefixPairs(
           DedupOps.sketchPrefilter(candS, sets, DedupOps.prefixThreshold),
           sets, DedupOps.prefixThreshold).count())
+      // r15 PAST-CEILING shapes (PERF §38), same JVM, same staged
+      // inputs — which bucketed fallback should own q79 beyond the
+      // broadcast ceiling:
+      t("pairgrain sk attach")(
+        DedupOps.sketchPrefilterBucketed(candS, sets,
+          DedupOps.prefixThreshold).count())
+      t("verify pairgrain full")(
+        DedupOps.verifyPrefixPairs(
+          DedupOps.sketchPrefilterBucketed(candS, sets,
+            DedupOps.prefixThreshold),
+          sets, DedupOps.prefixThreshold).count())
+      t("verify smjbound only")(
+        DedupOps.verifyPrefixPairs(cand, sets, DedupOps.prefixThreshold)
+          .count())
       t("q79 full")(graft.SparkEntry.queries("q79_prefix_jaccard")(spark, sf).count())
+      sys.props("graft.sketch.maxdocs") = "0"
+      try t("q79 full past-ceiling")(
+        graft.SparkEntry.queries("q79_prefix_jaccard")(spark, sf).count())
+      finally sys.props.remove("graft.sketch.maxdocs"): Unit
     }
     spark.stop()
   }
