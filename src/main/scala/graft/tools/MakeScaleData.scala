@@ -71,12 +71,18 @@ object MakeScaleData {
     * fact replication, then two deterministic Zipf distortions that
     * model a "mega supplier / mega order" warehouse:
     *
-    *   - `l_suppkey` is REDRAWN from a Zipf(1) distribution over the
-    *     existing supplier keys: u = hash-uniform in (0,1),
-    *     key = minSupp + floor(range^u) - 1, so P(key ≤ x) ∝ ln x —
-    *     the heaviest supplier takes ~ln⁻¹(N) of ALL lineitems (at
-    *     10k suppliers, ~10% lands on the single hottest key, a ~1000×
-    *     over-representation vs uniform).
+    *   - `l_suppkey` is REDRAWN from a mega-supplier mixture: a
+    *     `megaFrac` slice of rows (default 25%, hash-selected) lands
+    *     on the single smallest supplier key outright, the rest on a
+    *     Zipf(1) over the existing key range (u = hash-uniform in
+    *     (0,1), key = minSupp + floor(range^u) - 1, P(key ≤ x) ∝
+    *     ln x). Zipf(1) alone tops out near 10% single-key mass
+    *     (~1/ln N), which at 32 shuffle partitions is only ~2–4× the
+    *     median partition — UNDER AQE's default 5× skew factor (the
+    *     first probe run proved it, PERF §40); the mixture pushes the
+    *     hot key to ~32% of the fact table, ~9× the median partition,
+    *     which is what "one mega supplier" actually does to a
+    *     warehouse shuffle.
     *   - a `hotFrac` slice of rows (default 10%, hash-selected) has
     *     `l_orderkey` REDIRECTED to one of the three smallest source
     *     order keys — three orders own 10% of the fact table, so the
@@ -89,7 +95,8 @@ object MakeScaleData {
     * well-defined) results than the uniform dir — this is a
     * task-distribution stressor, not an oracle corpus. */
   def scaledLineitemZipf(spark: SparkSession, src: String, k: Int,
-                         hotFrac: Double = 0.10): DataFrame = {
+                         hotFrac: Double = 0.10,
+                         megaFrac: Double = 0.25): DataFrame = {
     val supStats = Tables.supplier(spark, src)
       .agg(min("s_suppkey").cast("long"), max("s_suppkey").cast("long"))
       .collect()(0)
@@ -108,8 +115,12 @@ object MakeScaleData {
         (pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), lit(1)),
           lit(1048576L)) + lit(0.5)) / lit(1048576.0))
       .withColumn("l_suppkey",
-        (lit(sMin) + floor(pow(lit(range.toDouble), col("__u"))) - lit(1))
-          .cast(suppType))
+        when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), lit(4)),
+               lit(100L)) < lit(math.round(megaFrac * 100)),
+          lit(sMin).cast(suppType))
+          .otherwise((lit(sMin) +
+            floor(pow(lit(range.toDouble), col("__u"))) - lit(1))
+            .cast(suppType)))
       .withColumn("l_orderkey",
         when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), lit(2)),
                lit(100L)) < lit(hotPct),

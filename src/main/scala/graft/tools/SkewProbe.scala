@@ -36,7 +36,7 @@ object SkewProbe {
 
   private val queries =
     Seq("q67_shipping_priority", "q68_local_supplier_volume",
-      "q77_dominant_shippers")
+      "q77_dominant_shippers", "supp_volume")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
@@ -72,9 +72,31 @@ object SkewProbe {
       reads.synchronized(reads.toVector)
     }
 
+    // The canonical SINGLE-key fact⋈dim shape (supplier volume by
+    // supplier): the declared queries join l_suppkey only as part of
+    // a composite key (q68 adds c_nationkey, which SPREADS the mega
+    // supplier across 25 nations — an inherent skew defense worth
+    // recording), so the mega-supplier key never concentrates in one
+    // partition there. This probe is where the split mechanism itself
+    // must fire on the adversarial generator.
+    def suppVolume(dir: String): DataFrame = {
+      import graft.Tables
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(spark, dir)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .join(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("volume"))
+    }
+
     def runOne(tag: String, dir: String, q: String): Unit = {
       reads.synchronized(reads.clear())
-      val df: DataFrame = graft.SparkEntry.queries(q)(spark, dir)
+      val df: DataFrame =
+        if (q == "supp_volume") suppVolume(dir)
+        else graft.SparkEntry.queries(q)(spark, dir)
       val t0 = System.nanoTime()
       // collect() executes THIS dataset's queryExecution, so the
       // adaptive plan below is the finalized one (count() would run a
@@ -103,11 +125,45 @@ object SkewProbe {
       spark.catalog.clearCache()
     }
 
+    // Two passes per dir (VERDICT r14 #6 / first probe run's finding):
+    // with AQE free to choose, the 10× dims and filtered orders fit
+    // the broadcast threshold, so every probe-side join plans
+    // broadcast-hash — which is skew-IMMUNE by construction (the fat
+    // side never shuffles) and the split never needs to fire. That is
+    // itself the first line of defense, but at cluster scale the
+    // orders/customer sides outgrow broadcast, so the `smj` pass
+    // disables broadcast to force the two-sided shuffle shape those
+    // joins take at 100 TB — the shape the skew split exists for.
+    // Third pass: forceOptimizeSkewedJoin. The probe's bisection
+    // (PERF §40) found that a downstream aggregation ON THE JOIN KEY
+    // suppresses the split — the agg reuses the join's partitioning,
+    // so splitting would introduce an extra shuffle and AQE declines
+    // by default. That is exactly the TPC-H Q3/q67 shape (join on
+    // l_orderkey, group by l_orderkey), so a hot-key corpus needs
+    // `force` there: pay one extra small exchange on the agg to stop
+    // one straggler task owning 30% of the join.
+    def passes(tag: String, dir: String): Unit = {
+      for (q <- queries) runOne(s"$tag/aqe-free", dir, q)
+      val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin")
+        .map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for (q <- queries) runOne(s"$tag/smj", dir, q)
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        for (q <- queries) runOne(s"$tag/smj-force", dir, q)
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
     spark.sparkContext.addSparkListener(listener)
     try {
       graft.SparkEntry.entry(spark).count(): Unit // warm-up
-      for (q <- queries) runOne("skewed", skewDir, q)
-      uniformDir.foreach(d => for (q <- queries) runOne("uniform", d, q))
+      passes("skewed", skewDir)
+      uniformDir.foreach(passes("uniform", _))
     } finally spark.sparkContext.removeSparkListener(listener)
     spark.stop()
   }
