@@ -43,19 +43,34 @@ object AdmissionSoak {
 
     val table = "soak_corpus_bands"
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // the catalog is in-memory per JVM but managed-table LOCATIONS
+    // persist in the warehouse dir — a previous soak's directories
+    // would fail this run's CREATE with LOCATION_ALREADY_EXISTS
+    val warehouse = new java.io.File(
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    Option(warehouse.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(table))
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(d)
+      }
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val nDocs = docs.count()
     val t0 = System.nanoTime()
     StreamingDedup.stageCorpusBands(spark,
       graft.operators.DedupOps.minhashSignaturesOf(docs), table)
     println(f"[soak] staged $table from $nDocs docs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    val tableDir = new java.io.File(
-      spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+    def locationOf(name: String): java.io.File = new java.io.File(
+      spark.sql(s"DESCRIBE TABLE EXTENDED $name")
         .where(col("col_name") === "Location").select("data_type")
         .collect()(0).getString(0).stripPrefix("file:"))
 
-    def tableFootprint(): (Long, Int) = {
-      val fs = Option(tableDir.listFiles()).getOrElse(Array.empty)
+    def tableFootprint(name: String): (Long, Int) = {
+      val fs = Option(locationOf(name).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("part-"))
       (fs.map(_.length).sum, fs.length)
     }
@@ -69,19 +84,24 @@ object AdmissionSoak {
     val m = math.max(1L, nDocs / math.max(batchSize, 1L))
     val latencies = new Array[Double](nBatches)
     var appended = 0L
+    var curTable = table
+    var compactions = 0
     val growth = scala.collection.mutable.ArrayBuffer[(Int, Long, Int)]()
     (0 until nBatches).foreach { b =>
       val slice = docs.where(pmod(col("doc_id"), lit(m)) === lit(b % m))
-      val dupHalf = slice.where(pmod(col("doc_id"), lit(2)) === 0)
+      // hash-split, not parity-split: with an even modulus every id in
+      // the slice shares the parity of b, so doc_id%2 made whole
+      // batches all-dup or all-new (first soak run's artifact)
+      val dupHalf = slice.where(pmod(xxhash64(col("doc_id")), lit(2)) === 0)
         .select((col("doc_id") + lit(10000000000L) + lit(b) * 1000000L).as("doc_id"),
           col("text"))
-      val newHalf = slice.where(pmod(col("doc_id"), lit(2)) === 1)
+      val newHalf = slice.where(pmod(xxhash64(col("doc_id")), lit(2)) === 1)
         .select((col("doc_id") + lit(20000000000L) + lit(b) * 1000000L).as("doc_id"),
           concat_ws(" ",
             expr(s"transform(split(text, ' '), t -> concat(t, '~b$b'))")).as("text"))
       val batch = dupHalf.unionByName(newHalf).localCheckpoint(true)
       val s0 = System.nanoTime()
-      val matches = StreamingDedup.nearDupMatchesBucketed(batch, spark, table)
+      val matches = StreamingDedup.nearDupMatchesBucketed(batch, spark, curTable)
         .localCheckpoint(true)
       val nMatches = matches.count()
       latencies(b) = (System.nanoTime() - s0) / 1e9
@@ -98,16 +118,38 @@ object AdmissionSoak {
         .select(col("cbk"), col("corpus_id"), col("__sig").as("__csig"))
       newPostings.write.mode("append")
         .bucketBy(64, "cbk").sortBy("cbk")
-        .format("parquet").saveAsTable(table)
+        .format("parquet").saveAsTable(curTable)
       val nAdm = admitted.count()
       appended += nAdm * p.numBands
       if (b % 10 == 0 || b == nBatches - 1) {
-        val (bytes, files) = tableFootprint()
+        val (bytes, files) = tableFootprint(curTable)
         growth += ((b, bytes, files))
         println(f"[soak] batch $b%3d wall=${latencies(b)}%.3f s matches=$nMatches " +
           f"admitted=$nAdm postings+=$appended table=${bytes / 1e6}%.1f MB/$files files")
       } else
         println(f"[soak] batch $b%3d wall=${latencies(b)}%.3f s matches=$nMatches admitted=$nAdm")
+      // COMPACTION every 25 absorbed batches: each append adds one
+      // file per touched bucket (~64/batch), and the first soak run
+      // measured the probe latency creeping +35% over 100 batches as
+      // the file count grew 2048 → 5248 — per-file open/footer costs,
+      // not data volume (bytes grew 14%). A production absorbing gate
+      // compacts on a file-count trigger; the soak demonstrates the
+      // same (one bucketed rewrite, swap, drop) and the latency
+      // recovery shows up in the per-batch series right after.
+      if ((b + 1) % 25 == 0 && b + 1 < nBatches) {
+        val next = s"${table}_c${compactions + 1}"
+        val c0 = System.nanoTime()
+        spark.sql(s"DROP TABLE IF EXISTS $next")
+        spark.table(curTable).write
+          .bucketBy(64, "cbk").sortBy("cbk")
+          .format("parquet").saveAsTable(next)
+        spark.sql(s"DROP TABLE $curTable")
+        curTable = next
+        compactions += 1
+        val (bytes, files) = tableFootprint(curTable)
+        println(f"[soak] compaction $compactions after batch $b " +
+          f"${(System.nanoTime() - c0) / 1e9}%.2f s -> ${bytes / 1e6}%.1f MB/$files files")
+      }
       spark.catalog.clearCache()
     }
     val sorted = latencies.sorted
