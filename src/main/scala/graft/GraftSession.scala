@@ -59,7 +59,19 @@ object GraftSession {
     * spark.executor.memory from the bracket args). */
   def local(appName: String = "graft"): SparkSession = {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val s = builder(appName).master(master).getOrCreate()
+    val b = builder(appName).master(master)
+    // local-cluster executors are SEPARATE JVMs launched by the
+    // in-process worker: they inherit Spark's jars but not this
+    // application's compiled classes, so ship our own code-source
+    // directory (and SparkEntry's, identical in practice) on the
+    // executor classpath — the one piece spark-submit --jars would
+    // otherwise do
+    if (master.startsWith("local-cluster")) {
+      val codeSource = getClass.getProtectionDomain.getCodeSource
+        .getLocation.getPath
+      b.config("spark.executor.extraClassPath", codeSource): Unit
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
