@@ -1217,20 +1217,16 @@ object DedupOps {
   def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sets = docSetsTable(spark, sfDir)
     val prefix = prefixTable(spark, sfDir, prefixThreshold)
-    // sketch-filter the ENUMERATION while the corpus fits the
-    // broadcast ceiling (parquet-metadata count — cheap); beyond it,
-    // the PAIR-GRAIN bucketed prefilter: aggregate first (58.7M pairs
-    // at 100×), then attach only the 128 B sketches via the
-    // bucket-aligned doc_sets SMJ and reject pre-verify — the verify
-    // then sees the same ~25.6k survivors as the broadcast path
-    // (PERF §38; exact at any size either way)
-    val cand =
-      if (Tables.documents(spark, sfDir).count() <= sketchDocCeiling(spark))
-        candidatesSketchFiltered(prefix, sets, prefixThreshold)
-      else
-        sketchPrefilterBucketed(
-          candidatesWithSizesFrom(prefix, prefixThreshold), sets,
-          prefixThreshold)
+    // default `auto`: broadcast sketch prefilter while the corpus
+    // fits the ceiling (parquet-metadata count — cheap), past it the
+    // enumeration-grain rejection via the sketches CARRIED on the
+    // prefix rows — no broadcast, no cliff (PERF §44);
+    // `carried`/`broadcast`/`pair`/`off` modes remain as A/B
+    // instruments (exact at any size on every path — the verify is
+    // the recall authority, the prefilters only drop pairs the bound
+    // proves non-qualifying)
+    val cand = candidatesDispatch(prefix, sets, prefixThreshold,
+      Tables.documents(spark, sfDir).count())
     verifyPrefixPairs(cand, sets, prefixThreshold)
       .orderBy("doc_a", "doc_b")
   }
@@ -1249,20 +1245,13 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sets = setsFrom(bg)
-      // broadcast-size guard counted off the PERSISTED prefix frame
-      // (one sketch row per doc that reaches `sets`), not `docs` —
+      // default `auto`: broadcast prefilter under the ceiling,
+      // carried enumeration-grain rejection past it (the persisted
+      // prefix frame carries `sk`) — no cliff. The ceiling guard
+      // counts docs off the PERSISTED prefix frame, not `docs`:
       // an arbitrary caller lineage must not be recomputed for a count
-      val nDocs = prefix.select("doc_id").distinct().count()
-      val cand =
-        if (nDocs <= sketchDocCeiling(docs.sparkSession))
-          candidatesSketchFiltered(prefix, sets, t).localCheckpoint(true)
-        else
-          // pair-grain sketch rejection without the broadcast: the
-          // sketch side here is a per-doc projection of the unstaged
-          // set frame (136 B/doc exchange), still orders of magnitude
-          // lighter than handing every pair to the array verify
-          sketchPrefilterBucketed(candidatesWithSizesFrom(prefix, t),
-            sets, t).localCheckpoint(true)
+      val cand = candidatesDispatch(prefix, sets, t,
+        prefix.select("doc_id").distinct().count()).localCheckpoint(true)
       verifyPrefixPairs(cand, sets, t)
     } finally { prefix.unpersist(false): Unit }
   }
@@ -1274,17 +1263,35 @@ object DedupOps {
     * FUNCTION of the shingle, so equal shingles always collide (no
     * candidate is ever lost) and the self-join compares longs instead
     * of strings; a spurious h60 collision only adds a candidate the
-    * verify stage discards. */
+    * verify stage discards.
+    *
+    * Each prefix row also CARRIES the doc's 128 B bucket-count sketch
+    * (`sk`, r15): the enumeration self-join then has both pair sides'
+    * sketches resident in its own rows, so the bound rejection runs at
+    * enumeration grain WITHOUT a broadcast — no corpus-size ceiling
+    * (PERF §44). The carry is cheap because the prefix frame is
+    * doc-grain small (~(1-t)n+1 rows/doc: 2.2/doc on this corpus,
+    * 0.2n/doc for book-sized docs), and consumers that don't ask for
+    * `sk` prune the column at the parquet scan. The per-doc sketch
+    * aggregate reuses the window's doc_id partitioning — one sort
+    * below the existing exchange, not a new shuffle. */
   private def prefixFrom(bg: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tL = loosened(t)
     val dfs = bg.groupBy("s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+    val sk = bg
+      .withColumn("__h32", (col("h") - lit(2147483648L)).cast("int"))
+      .groupBy("doc_id")
+      .agg(collect_list("__h32").as("__hs"))
+      .select(col("doc_id"),
+        graft.functions.BucketSketch.bucket_count_sketch(col("__hs")).as("sk"))
     bg.join(dfs, "s")
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .where(col("rk") <= col("n") - ceil(lit(tL) * col("n")) + 1)
       .select("doc_id", "h60", "rk", "n")
+      .join(sk, "doc_id")
   }
 
   /** Staged probe-prefix frame (`prefix_t800` for the default 0.8):
@@ -1293,7 +1300,7 @@ object DedupOps {
   private[graft] def prefixTable(spark: SparkSession, sfDir: String,
                           t: Double): DataFrame = {
     val compute = prefixFrom(
-      sharedShingles(spark, sfDir).select("doc_id", "s", "h60"), t)
+      sharedShingles(spark, sfDir).select("doc_id", "s", "h", "h60"), t)
     stagingRoot match {
       case None => compute
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1443,6 +1450,83 @@ object DedupOps {
       sketchBoundFilter(enumeratedCollisions(prefix, t), sets, t,
         "xa", "ya", Some(("nx", "ny"))),
       t).select("doc_a", "doc_b")
+
+  /** Enumeration-grain sketch rejection with NO broadcast and NO
+    * corpus-size ceiling (r15, PERF §44): the 128 B sketches ride the
+    * prefix rows themselves (see [[prefixFrom]]), so the bound is
+    * evaluated INLINE in the self-join's own stage — the two sides'
+    * sketches are already in the joined row, no attach join at all.
+    * Same bound, same saturation bypass, and the same survivors as
+    * [[candidatesSketchFiltered]] / [[sketchPrefilterBucketed]]
+    * (`BucketSketchSpec` pins all three pair sets identical), so the
+    * pair aggregate's hash table holds ~25.6k sketch-survivors at
+    * 100× instead of 58.7M — at ANY corpus size. Cost of the carry:
+    * +128 B per PREFIX row ((1-t)n+1 rows/doc) through the self-join's
+    * two shuffles, linear in corpus docs, vs the broadcast path's
+    * O(corpus) driver-resident relation. */
+  private[graft] def candidatesSketchCarried(prefix: DataFrame,
+                                             t: Double): DataFrame = {
+    val tL = loosened(t)
+    val e = enumeratedCollisionsSk(prefix, t)
+      .withColumn("__ub",
+        graft.functions.BucketSketch.bucket_min_sum(col("xsk"), col("ysk")))
+      .where(col("nx") >= 65535 || col("ny") >= 65535 ||
+             col("__ub") * lit(1.0) / (col("nx") + col("ny") - col("__ub")) >= tL)
+      .drop("xsk", "ysk", "__ub")
+    aggregateEnumerated(e, t).select("doc_a", "doc_b")
+  }
+
+  /** [[enumeratedCollisions]] keeping both sides' carried sketch
+    * columns (prefix frames without `sk` cannot take this path). */
+  private def enumeratedCollisionsSk(prefix: DataFrame, t: Double): DataFrame = {
+    val tL = loosened(t)
+    val larger = col("x.n") > col("y.n") ||
+      (col("x.n") === col("y.n") && col("x.doc_id") > col("y.doc_id"))
+    prefix.as("x").join(prefix.as("y"),
+        col("x.h60") === col("y.h60") && larger &&
+        col("y.rk") <=
+          col("y.n") - ceil(lit(2 * tL / (1 + tL)) * col("y.n")) + 1)
+      .where(col("x.n") <= col("y.n") / tL)
+      .select(col("x.doc_id").as("xa"), col("y.doc_id").as("ya"),
+        col("x.n").as("nx"), col("y.n").as("ny"),
+        col("x.rk").as("xrk"), col("y.rk").as("yrk"),
+        col("x.sk").as("xsk"), col("y.sk").as("ysk"))
+  }
+
+  /** q79 candidate-path selector: `auto` (default — the broadcast
+    * prefilter while the corpus fits [[sketchDocCeiling]], the
+    * carried enumeration-grain path past it: the quiet-box A/B at
+    * 100× measured broadcast 7.9–9.2 s vs carried 9.6–10.1 s under
+    * the ceiling, and carried 9.6–10.1 s vs pair-grain 29–36 s past
+    * it — PERF §44), `carried` (force enumeration-grain,
+    * ceiling-free), `broadcast` (r14 shape, pair-grain fallback past
+    * the ceiling), `pair` (force the pair-grain bucketed prefilter),
+    * `off` (no sketch prefilter; the verify's in-SMJ bound still
+    * applies). Env SPARK_GRAFT_Q79_SKETCH, sys-prop
+    * `graft.q79.sketch` for in-JVM A/Bs. */
+  private[graft] def q79SketchMode: String =
+    sys.env.get("SPARK_GRAFT_Q79_SKETCH")
+      .orElse(sys.props.get("graft.q79.sketch"))
+      .map(_.toLowerCase).getOrElse("auto")
+
+  /** Candidate stage dispatch shared by [[prefixJaccardPairs]] and
+    * [[prefixJaccardPairsOf]]: `nDocs` is by-name — only the
+    * auto/broadcast modes need a corpus count for the ceiling check. */
+  private def candidatesDispatch(prefix: DataFrame, sets: DataFrame,
+      t: Double, nDocs: => Long): DataFrame = q79SketchMode match {
+    case "auto" =>
+      if (nDocs <= sketchDocCeiling(prefix.sparkSession))
+        candidatesSketchFiltered(prefix, sets, t)
+      else candidatesSketchCarried(prefix, t)
+    case "carried" => candidatesSketchCarried(prefix, t)
+    case "broadcast" =>
+      if (nDocs <= sketchDocCeiling(prefix.sparkSession))
+        candidatesSketchFiltered(prefix, sets, t)
+      else sketchPrefilterBucketed(candidatesWithSizesFrom(prefix, t), sets, t)
+    case "pair" =>
+      sketchPrefilterBucketed(candidatesWithSizesFrom(prefix, t), sets, t)
+    case _ => candidatesFrom(prefix, t)
+  }
 
   /** Corpus-size ceiling for the broadcast sketch prefilter: 2M docs
     * × (128 B sketch + row overhead) ≈ 400 MB in-heap per broadcast

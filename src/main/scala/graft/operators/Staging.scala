@@ -22,7 +22,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object Staging {
 
   /** Bump when any staged-table semantics change. */
-  private val stageVersion = "v4" // r15: doc_sets carries the sketch column
+  private val stageVersion = "v5" // r15: doc_sets AND prefix_t* carry the sketch column
 
   private val overrideRoot =
     new scala.util.DynamicVariable[Option[Option[String]]](None)

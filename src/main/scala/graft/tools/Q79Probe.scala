@@ -6,13 +6,16 @@ import graft.operators.DedupOps
   * generation, and the full prefix-Jaccard pipeline, each timed 3×
   * in one JVM (run-to-run deltas within a run are JIT/page-cache
   * warm-up — compare matching run indices across code versions).
-  * Usage: runMain graft.tools.Q79Probe [sfDir] [stagingRoot]; pass an
-  * existing staging root so repeated probes don't re-stage. */
+  * Usage: runMain graft.tools.Q79Probe [sfDir] [stagingRoot] [modes];
+  * pass an existing staging root so repeated probes don't re-stage; a
+  * third arg `modes` skips the stage-attribution rows and runs only
+  * the end-to-end mode A/B (carried/broadcast/pair + past-ceiling). */
 object Q79Probe {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val root = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("probe_q79").toString)
+    val modesOnly = args.lift(2).contains("modes")
     val spark = graft.GraftSession.local("q79-probe")
     graft.SparkEntry.entry(spark).count() // warm-up
     DedupOps.withStagingRoot(Some(root)) {
@@ -22,6 +25,7 @@ object Q79Probe {
         println(f"[q79] $name%-24s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
         spark.catalog.clearCache()
       }
+      if (modesOnly) { modeAb(spark, sf, t); spark.stop(); return }
       val t0 = System.nanoTime()
       val prefix = DedupOps.prefixTable(spark, sf, DedupOps.prefixThreshold)
       prefix.count()
@@ -55,6 +59,12 @@ object Q79Probe {
       t("cand sketch-filtered")(
         DedupOps.candidatesSketchFiltered(prefix, sets,
           DedupOps.prefixThreshold).count())
+      // r15 CARRIED shape (PERF §44): the bound inline in the
+      // enumeration join via prefix-row sketches — no broadcast,
+      // no ceiling
+      t("cand sketch-carried")(
+        DedupOps.candidatesSketchCarried(prefix,
+          DedupOps.prefixThreshold).count())
       t("verify w/ prefilter")(
         DedupOps.verifyPrefixPairs(
           DedupOps.sketchPrefilter(candS, sets, DedupOps.prefixThreshold),
@@ -74,11 +84,30 @@ object Q79Probe {
         DedupOps.verifyPrefixPairs(cand, sets, DedupOps.prefixThreshold)
           .count())
       t("q79 full")(graft.SparkEntry.queries("q79_prefix_jaccard")(spark, sf).count())
-      sys.props("graft.sketch.maxdocs") = "0"
-      try t("q79 full past-ceiling")(
-        graft.SparkEntry.queries("q79_prefix_jaccard")(spark, sf).count())
-      finally sys.props.remove("graft.sketch.maxdocs"): Unit
+      modeAb(spark, sf, t)
     }
     spark.stop()
+  }
+
+  private def modeAb(spark: org.apache.spark.sql.SparkSession, sf: String,
+                     t: String => (=> Any) => Unit): Unit = {
+    // mode A/B through the shipped entry point (default `auto` =
+    // broadcast under the ceiling, carried past it)
+    for (m <- Seq("carried", "broadcast", "pair")) {
+      sys.props("graft.q79.sketch") = m
+      try t(s"q79 full [$m]")(
+        graft.SparkEntry.queries("q79_prefix_jaccard")(spark, sf).count())
+      finally sys.props.remove("graft.q79.sketch"): Unit
+    }
+    // past the broadcast ceiling the `broadcast` mode degrades to the
+    // pair-grain bucketed prefilter; `carried` is ceiling-free
+    sys.props("graft.sketch.maxdocs") = "0"
+    sys.props("graft.q79.sketch") = "broadcast"
+    try t("q79 full past-ceiling")(
+      graft.SparkEntry.queries("q79_prefix_jaccard")(spark, sf).count())
+    finally {
+      sys.props.remove("graft.sketch.maxdocs")
+      sys.props.remove("graft.q79.sketch"): Unit
+    }
   }
 }

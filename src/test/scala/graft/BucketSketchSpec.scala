@@ -144,6 +144,55 @@ class BucketSketchSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("carried sketch path (enumeration-grain, ceiling-free) is output-invariant") {
+    // r15 PERF §44: the prefix rows carry the 128 B sketch, so the
+    // bound rejects at enumeration grain with no broadcast at all —
+    // candidate set and verified pairs must be identical to every
+    // other mode, staged and unstaged.
+    val dir = "/root/testdata/sf0.01"
+    val t = DedupOps.prefixThreshold
+    def q79mode(m: String) = {
+      sys.props("graft.q79.sketch") = m
+      try graft.operators.DedupOps.prefixJaccardPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally sys.props.remove("graft.q79.sketch"): Unit
+    }
+    val stageDir =
+      java.nio.file.Files.createTempDirectory("graft_sketch_carried").toString
+    try DedupOps.withStagingRoot(Some(stageDir)) {
+      val prefix = DedupOps.prefixTable(spark, dir, t)
+      assert(prefix.columns.contains("sk"),
+        "staged prefix table must carry the sketch column")
+      val sets = DedupOps.docSetsTable(spark, dir)
+      def candSet(c: org.apache.spark.sql.DataFrame) =
+        c.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val carried = candSet(DedupOps.candidatesSketchCarried(prefix, t))
+      val bcast = candSet(DedupOps.candidatesSketchFiltered(prefix, sets, t))
+      val all = candSet(DedupOps.candidatesFrom(prefix, t))
+      assert(carried == bcast,
+        "carried enumeration filter must keep the broadcast path's candidate set")
+      assert(carried.size < all.size,
+        s"carried filter must reject something: ${carried.size} of ${all.size}")
+      val base = q79mode("off")
+      assert(base.nonEmpty)
+      assert(q79mode("carried") == base, "carried mode pair set must match")
+      assert(q79mode("broadcast") == base, "broadcast mode pair set must match")
+      assert(q79mode("pair") == base, "pair mode pair set must match")
+    } finally spark.catalog.clearCache()
+    // unstaged: the persisted prefix frame carries sk too — with the
+    // ceiling forced to 0, the default `auto` dispatch takes the
+    // carried path (no broadcast anywhere in the plan)
+    sys.props("graft.sketch.maxdocs") = "0"
+    try DedupOps.withStagingRoot(None) {
+      val docs = graft.Tables.documents(spark, dir)
+      val viaLib = DedupOps.prefixJaccardPairsOf(docs, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaLib.nonEmpty && viaLib == q79mode("off"),
+        "unstaged carried path must match the unfiltered pair set")
+    } finally sys.props.remove("graft.sketch.maxdocs"): Unit
+    spark.catalog.clearCache()
+  }
+
   test("LSH verify prefilter (t=0.5) is output-invariant") {
     val dir = "/root/testdata/sf0.01"
     DedupOps.withStagingRoot(None) {
