@@ -1272,9 +1272,12 @@ object DedupOps {
     * (PERF §44). The carry is cheap because the prefix frame is
     * doc-grain small (~(1-t)n+1 rows/doc: 2.2/doc on this corpus,
     * 0.2n/doc for book-sized docs), and consumers that don't ask for
-    * `sk` prune the column at the parquet scan. The per-doc sketch
-    * aggregate reuses the window's doc_id partitioning — one sort
-    * below the existing exchange, not a new shuffle. */
+    * `sk` prune the column at the parquet scan (`SkPruneProbe`). The
+    * per-doc sketch aggregate is its OWN doc_id exchange
+    * (`PrefixPlanProbe`: the window's exchange is not reused — its
+    * input carries the dfs join), but a narrow one: (doc_id, int32)
+    * per shingle row, ~15–20% of the window exchange's width, linear
+    * in corpus bytes, paid once per stage build. */
   private def prefixFrom(bg: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tL = loosened(t)
