@@ -60,6 +60,11 @@ object Bench {
   private[graft] def load1(line: String): Double =
     line.split("\\s+").headOption.flatMap(_.toDoubleOption).getOrElse(Double.NaN)
 
+  /** 5-minute load average from the same line (field 2); NaN when
+    * unavailable. */
+  private[graft] def load5(line: String): Double =
+    line.split("\\s+").lift(1).flatMap(_.toDoubleOption).getOrElse(Double.NaN)
+
   /** Contention gate (VERDICT r14 #3): the r14 end-of-round artifacts
     * started at loadavg ~18 and carry 2.3×-drifted entries (q81 9.71 s
     * committed vs 4.6 s same-code quiet-box) — the calibration probe
@@ -82,6 +87,56 @@ object Bench {
     loadavgMax.collect { case max if l1.isNaN == false && l1 > max =>
       f"loadavg_start $l1%.2f > $max%.2f: box contended, artifact not comparable"
     }
+  }
+
+  /** 5-minute-average tier of the gate (VERDICT r15 #3): the 1-min
+    * gate has a 5-min blind spot — the r15 16 GiB artifact booted at
+    * 1-min 3.40 (passes) but 5-min 5.94 and carried 1.3–1.6× noise on
+    * second-tier queries, disproven by a same-code run 10 min later.
+    * Above [[loadavgMax]] the 5-min average earns a WARN entry (the
+    * artifact stays valid — a decaying 5-min tail after the box
+    * actually quiesced is common and the calib series attributes it);
+    * above 2× it is an error like the 1-min gate (a box that has
+    * averaged >8 over five minutes is mid-contention, not settling). */
+  private[graft] def load5Error(startLine: String): Option[String] = {
+    val l5 = load5(startLine)
+    loadavgMax.collect { case max if !l5.isNaN && l5 > 2 * max =>
+      f"loadavg5_start $l5%.2f > ${2 * max}%.2f: sustained contention, artifact not comparable"
+    }
+  }
+  private[graft] def load5Warning(startLine: String): Option[String] = {
+    val l5 = load5(startLine)
+    loadavgMax.collect { case max if !l5.isNaN && l5 > max && l5 <= 2 * max =>
+      f"loadavg5_start $l5%.2f > $max%.2f: 5-min tail elevated; prefer a quieter same-code history run"
+    }
+  }
+
+  /** Wait-and-retry on a gate trip (VERDICT r15 #1): round 15's
+    * driver-of-record artifact is `valid:false` purely because the box
+    * was still winding down from the builder's own runs when Bench
+    * sampled — the gate refusing outright turned "slow start" into "no
+    * valid artifact". Instead: when the boot sample trips either tier,
+    * re-read `/proc/loadavg` every `stepMs` for up to `maxWaitMs`
+    * (default 3×60 s) and proceed on the first sample that clears BOTH
+    * tiers; only a box still contended after the full wait records the
+    * contention error. The wait itself is recorded in-artifact
+    * (`contention_wait_sec`) so a slow start stays attributable.
+    * `read`/`sleep` injectable for the spec. Also the ADVICE-r15 fix
+    * for the post-build false positive: a lagging 1-min average decays
+    * within the wait window instead of invalidating a quiet run. */
+  private[graft] def awaitQuietBox(read: () => String,
+      maxWaitMs: Long = 180000L, stepMs: Long = 10000L,
+      sleep: Long => Unit = Thread.sleep): (String, Double) = {
+    def tripped(line: String): Boolean =
+      contentionError(line).isDefined || load5Error(line).isDefined
+    var line = read()
+    var waitedMs = 0L
+    while (tripped(line) && waitedMs < maxWaitMs) {
+      sleep(stepMs)
+      waitedMs += stepMs
+      line = read()
+    }
+    (line, waitedMs / 1000.0)
   }
 
   /** Contention guard (round-11, VERDICT r10 #1): a FIXED pure-CPU
@@ -116,8 +171,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     // contention probe FIRST, before the session/warmup add our own
     // 32 threads to the 1-min average — this reading is the prior
-    // box state, which is what the gate is about
-    val loadBoot = loadavg()
+    // box state, which is what the gate is about. On a trip, wait
+    // (bounded) for the box to settle instead of refusing outright.
+    val (loadBoot, contentionWaitSec) = awaitQuietBox(() => loadavg())
+    if (contentionWaitSec > 0)
+      println(f"[contention] waited $contentionWaitSec%.0f s for the box to settle " +
+        s"(loadavg now: $loadBoot)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional comma-separated query-name filter (scaling experiments on
     // dirs that carry only a table subset); absent = the full suite
@@ -127,6 +186,8 @@ object Bench {
     def selected(name: String): Boolean = only.forall(_.contains(name))
     val spark = GraftSession.local("graft-bench")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // warn tier: recorded in-artifact, never invalidates
+    val warnings = scala.collection.mutable.LinkedHashMap[String, String]()
 
     // round-opening schema tripwire (VERDICT r12 #7): a physical-type
     // drift in the testdata must surface as a loud, incomparable
@@ -141,6 +202,14 @@ object Bench {
     contentionError(loadBoot).foreach { msg =>
       println(s"[contention] $msg")
       errors("contention") = msg
+    }
+    load5Error(loadBoot).foreach { msg =>
+      println(s"[contention] $msg")
+      errors("contention5") = msg
+    }
+    load5Warning(loadBoot).foreach { msg =>
+      println(s"[contention][warn] $msg")
+      warnings("load5") = msg
     }
 
     /** Median-of-`reps` seconds for `body`; failures recorded under
@@ -222,10 +291,15 @@ object Bench {
     val (calibEnd, calibEndRuns) = calibrate(spark)
     val loadEnd = loadavg()
     def f4(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val warnJson = warnings.toSeq
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
     val guardJson =
       s""""calib_start_sec":${f4(calibStart)},""" +
       s""""calib_end_sec":${f4(calibEnd)},""" +
       s""""calib_series":[${(calibStartRuns ++ calibMid ++ calibEndRuns).map(f4).mkString(",")}],""" +
+      s""""contention_wait_sec":${f4(contentionWaitSec)},""" +
+      s""""warnings":$warnJson,""" +
       s""""loadavg_boot":"${esc(loadBoot)}",""" +
       s""""loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}""""
     // headline total over SUCCESSFUL queries only — summing the -1.0
@@ -261,17 +335,25 @@ object Bench {
       // r14 drift claims uncheckable. Every run also appends an
       // immutable copy keyed by wall-clock run id + sf tag; nothing
       // ever overwrites it (CREATE_NEW throws on collision rather than
-      // clobbering).
+      // clobbering — and a second-granularity collision retries with a
+      // unique suffix instead of riding the shared IOException catch
+      // into a silently-lost record, ADVICE r15).
       val runId = java.time.format.DateTimeFormatter
         .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
         .format(java.time.Instant.now())
       val sfTag = sfDir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9._-]", "_")
-      val hist = out.getParent.resolve("history")
-        .resolve(s"bench_${runId}_$sfTag.json")
-      java.nio.file.Files.createDirectories(hist.getParent)
-      java.nio.file.Files.write(hist,
-        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      val histDir = out.getParent.resolve("history")
+      java.nio.file.Files.createDirectories(histDir)
+      val bytes = (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      try java.nio.file.Files.write(
+        histDir.resolve(s"bench_${runId}_$sfTag.json"), bytes,
         java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.write(
+          histDir.resolve(s"bench_${runId}_$sfTag-" +
+            java.util.UUID.randomUUID().toString.take(8) + ".json"),
+          bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+      }
     } catch { case _: java.io.IOException => () } // read-only cwd: line still prints
     def short(name: String): String =
       if (name.matches("q\\d+_.*")) name.takeWhile(_ != '_') else name

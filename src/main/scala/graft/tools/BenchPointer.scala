@@ -1,0 +1,82 @@
+package graft.tools
+
+/** Committed-pointer refresh rule (VERDICT r15 #3): `bench_*_rN.json`
+  * pointers must carry the QUIETEST of the recent same-code history
+  * runs, not whichever run happened to be last — the r15 16 GiB
+  * pointer carried 1.3–1.6× 5-min-load noise on second-tier queries
+  * while a parity run sat one file away in `bench/history/`.
+  *
+  * Scans `bench/history/` for the newest `maxN` runs whose filename
+  * carries `sfTag` and whose artifact is `"valid":true`, ranks them by
+  * the contention evidence the artifact itself records — primary key
+  * max(calib_start_sec, calib_end_sec) (the fixed pure-CPU probe: a
+  * per-machine constant on a quiet box, directly inflated by
+  * contention), tiebreak the boot 5-min load — and copies the winner
+  * to the pointer path, printing the ranking so the choice is
+  * auditable. Same-code discipline stays with the caller: run this
+  * right after the round's bench runs, before any source change, so
+  * the newest-N window holds only same-commit runs.
+  *
+  * Usage: runMain graft.tools.BenchPointer <pointerPath> <sfTag> [maxN]
+  *   e.g.  BenchPointer bench/bench_100x_full_r16.json scale100 4
+  */
+object BenchPointer {
+
+  private[graft] final case class Run(path: java.nio.file.Path, name: String,
+      valid: Boolean, calibMax: Double, load5Boot: Double, totalSec: Double)
+
+  private def field(json: String, key: String): Option[String] = {
+    val m = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\":(\"[^\"]*\"|true|false|[-0-9.eE]+)").r.findFirstMatchIn(json)
+    m.map(_.group(1).stripPrefix("\"").stripSuffix("\""))
+  }
+
+  private[graft] def parse(path: java.nio.file.Path, json: String): Option[Run] =
+    for {
+      valid <- field(json, "valid").map(_ == "true")
+      cs <- field(json, "calib_start_sec").flatMap(_.toDoubleOption)
+      ce <- field(json, "calib_end_sec").flatMap(_.toDoubleOption)
+      total <- field(json, "value").flatMap(_.toDoubleOption)
+    } yield Run(path, path.getFileName.toString, valid, math.max(cs, ce),
+      field(json, "loadavg_boot").map(graft.Bench.load5)
+        .getOrElse(Double.NaN), total)
+
+  /** The quietest valid run among `runs` (newest-N window already
+    * applied by the caller): lowest calibMax, tiebreak lowest boot
+    * 5-min load (NaN sorts last). */
+  private[graft] def pick(runs: Seq[Run]): Option[Run] =
+    runs.filter(_.valid).sortBy(r =>
+      (r.calibMax, if (r.load5Boot.isNaN) Double.MaxValue else r.load5Boot))
+      .headOption
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenchPointer <pointerPath> <sfTag> [maxN]")
+    val pointer = java.nio.file.Paths.get(args(0))
+    val sfTag = args(1)
+    val maxN = args.lift(2).map(_.toInt).getOrElse(4)
+    val histDir = java.nio.file.Paths.get("bench", "history")
+    val candidates = Option(histDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("bench_") &&
+        f.getName.contains("_" + sfTag) && f.getName.endsWith(".json"))
+      .sortBy(_.getName).takeRight(maxN)
+      .flatMap { f =>
+        parse(f.toPath, new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+      }.toSeq
+    candidates.foreach { r =>
+      println(f"[pointer] candidate ${r.name} valid=${r.valid} " +
+        f"calibMax=${r.calibMax}%.3f load5Boot=${r.load5Boot}%.2f total=${r.totalSec}%.1f s")
+    }
+    pick(candidates) match {
+      case None =>
+        System.err.println(s"[pointer] no valid history run matches _$sfTag in the newest $maxN")
+        sys.exit(1)
+      case Some(win) =>
+        java.nio.file.Files.copy(win.path, pointer,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        println(f"[pointer] $pointer <- ${win.name} " +
+          f"(calibMax=${win.calibMax}%.3f, total=${win.totalSec}%.1f s)")
+    }
+  }
+}

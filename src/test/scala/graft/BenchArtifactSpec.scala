@@ -27,4 +27,89 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(!Bench.artifactValid(0,
       Map("schema_tripwire" -> "events.ts: INT64 (expected TIMESTAMP)")))
   }
+
+  // ---- contention gate: wait-and-retry (VERDICT r15 #1) ----
+
+  test("quiet boot sample passes with zero wait") {
+    val (line, waited) = Bench.awaitQuietBox(() => "0.50 0.40 0.30 1/100 1")
+    assert(line.startsWith("0.50") && waited == 0.0)
+  }
+
+  test("a gate trip waits and proceeds once the load clears") {
+    // decaying post-build load: 6.1 -> 4.4 -> 2.0 across re-reads
+    val samples = Iterator("6.10 3.00 2.00 1/100 1",
+      "4.40 3.00 2.00 1/100 1", "2.00 2.50 2.00 1/100 1")
+    val slept = scala.collection.mutable.ArrayBuffer[Long]()
+    val (line, waited) = Bench.awaitQuietBox(() => samples.next(),
+      maxWaitMs = 180000L, stepMs = 10000L, sleep = slept += _)
+    assert(Bench.contentionError(line).isEmpty)
+    assert(waited == 20.0 && slept == Seq(10000L, 10000L))
+  }
+
+  test("a box still contended after the full wait records the error") {
+    var reads = 0
+    val (line, waited) = Bench.awaitQuietBox(
+      () => { reads += 1; "9.00 9.00 9.00 1/100 1" },
+      maxWaitMs = 30000L, stepMs = 10000L, sleep = _ => ())
+    assert(Bench.contentionError(line).isDefined)
+    assert(waited == 30.0 && reads == 4) // boot + one per step
+  }
+
+  test("the wait also holds for a sustained 5-min trip") {
+    // 1-min quiet but 5-min above the hard (2x) tier: still waits
+    val samples = Iterator("1.00 9.00 6.00 1/100 1", "1.00 7.00 6.00 1/100 1")
+    val (line, waited) = Bench.awaitQuietBox(() => samples.next(),
+      maxWaitMs = 180000L, stepMs = 10000L, sleep = _ => ())
+    assert(Bench.load5Error(line).isEmpty && waited == 10.0)
+  }
+
+  // ---- 5-min tier (VERDICT r15 #3) ----
+
+  test("5-min average between max and 2x max warns but does not error") {
+    val line = "1.00 5.94 4.00 1/100 1" // the r15 16 GiB boot shape
+    assert(Bench.load5Error(line).isEmpty)
+    assert(Bench.load5Warning(line).isDefined)
+  }
+
+  test("5-min average above 2x max errors") {
+    val line = "1.00 8.50 4.00 1/100 1"
+    assert(Bench.load5Error(line).isDefined)
+    assert(Bench.load5Warning(line).isEmpty)
+  }
+
+  test("quiet 5-min average neither warns nor errors") {
+    val line = "0.50 0.40 0.30 1/100 1"
+    assert(Bench.load5Error(line).isEmpty && Bench.load5Warning(line).isEmpty)
+  }
+
+  test("load parsing: fields and NaN off-Linux") {
+    assert(Bench.load1("1.25 2.50 3.75 1/100 1") == 1.25)
+    assert(Bench.load5("1.25 2.50 3.75 1/100 1") == 2.50)
+    assert(Bench.load1("").isNaN && Bench.load5("").isNaN)
+  }
+
+  // ---- pointer refresh picks the quietest valid run (VERDICT r15 #3) ----
+
+  test("BenchPointer ranks by calib then load5 and skips invalid runs") {
+    import graft.tools.BenchPointer
+    def art(valid: Boolean, cs: Double, ce: Double, l5: Double, total: Double) =
+      s"""{"metric":"total","value":$total,"valid":$valid,""" +
+        s""""calib_start_sec":$cs,"calib_end_sec":$ce,""" +
+        s""""loadavg_boot":"1.00 $l5 1.00 1/1 1"}"""
+    val dir = java.nio.file.Files.createTempDirectory("ptr")
+    def run(name: String, json: String) = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+      BenchPointer.parse(p, json).get
+    }
+    val noisy = run("bench_20260814T0001_x.json", art(valid = true, 0.30, 0.45, 5.9, 190.0))
+    val quiet = run("bench_20260814T0002_x.json", art(valid = true, 0.09, 0.08, 0.6, 178.0))
+    val invalid = run("bench_20260814T0003_x.json", art(valid = false, 0.05, 0.05, 0.3, 160.0))
+    assert(BenchPointer.pick(Seq(noisy, quiet, invalid)).get.name == quiet.name)
+    assert(BenchPointer.pick(Seq(invalid)).isEmpty)
+    // calib tie -> lower boot load5 wins
+    val tieA = run("bench_20260814T0004_x.json", art(valid = true, 0.10, 0.10, 3.0, 180.0))
+    val tieB = run("bench_20260814T0005_x.json", art(valid = true, 0.10, 0.10, 0.5, 181.0))
+    assert(BenchPointer.pick(Seq(tieA, tieB)).get.name == tieB.name)
+  }
 }
