@@ -119,9 +119,11 @@ object StreamingDedup {
     * 128/16 production preset, where 16 copies of 1 KiB start to
     * matter, stage a second table bucketed on corpus_id instead and
     * split the probe into two bucket-aligned joins. */
+  /** Returns the staged table's data-file count — the BASELINE for the
+    * file-count compaction trigger ([[compactAt]]). */
   def stageCorpusBands(spark: SparkSession, corpusSig: DataFrame,
                        table: String, buckets: Int = 64,
-                       p: MinHashParams = DedupOps.defaultParams): Unit =
+                       p: MinHashParams = DedupOps.defaultParams): Int = {
     corpusSig.select(col("doc_id").as("corpus_id"),
         array((0 until p.numHashes).map(i => col(s"mh$i")): _*).as("__sig"))
       .withColumn("cbk", explode(expr(DedupOps.bandArrayExpr(p))))
@@ -129,6 +131,8 @@ object StreamingDedup {
       .write.mode("overwrite")
       .bucketBy(buckets, "cbk").sortBy("cbk")
       .format("parquet").saveAsTable(table)
+    PostingCompaction.fileCount(spark, table)
+  }
 
   /** [[nearDupMatches]] against the pre-bucketed posting table from
     * [[stageCorpusBands]] — identical output, but the static side
@@ -137,4 +141,23 @@ object StreamingDedup {
                              table: String,
                              p: MinHashParams = DedupOps.defaultParams): DataFrame =
     matchesAgainst(stream, spark.table(table), p)
+
+  /** Posting-table data-file count (the compaction trigger input). */
+  def postingFileCount(spark: SparkSession, table: String): Int =
+    PostingCompaction.fileCount(spark, table)
+
+  /** File-count-triggered compaction dial for an ABSORBING admission
+    * gate (VERDICT r15 #6, PERF §41): appends of admitted batches grow
+    * the posting table by ~one file per touched bucket per batch, and
+    * the soak measured probe latency creeping +35% over 100 batches
+    * from exactly that (files 2,048 → 5,248; bytes only +14%). Call
+    * after each absorb: when the table's file count exceeds
+    * `filesFactor` × `baselineFiles` (the count [[stageCorpusBands]]
+    * returned), the table is rewritten once — bucketed layout and name
+    * preserved — and probe latency returns to its staged baseline.
+    * Returns whether a compaction ran. */
+  def compactAt(spark: SparkSession, table: String, baselineFiles: Int,
+                filesFactor: Double = 4.0, buckets: Int = 64): Boolean =
+    PostingCompaction.compactAt(spark, table, baselineFiles, filesFactor,
+      buckets, "cbk")
 }

@@ -51,12 +51,24 @@ object StreamingSpanGate {
     * zero corpus-side exchange per micro-batch. */
   def stageCorpusSpans(spark: SparkSession, corpus: DataFrame,
                        table: String, buckets: Int = 64,
-                       k: Int = defaultSpanLen): Unit =
+                       k: Int = defaultSpanLen): Int = {
     corpus.select(explode(SpanHashes.span_hashes(col("text"), k)).as("csh"))
       .distinct()
       .write.mode("overwrite")
       .bucketBy(buckets, "csh").sortBy("csh")
       .format("parquet").saveAsTable(table)
+    PostingCompaction.fileCount(spark, table)
+  }
+
+  /** File-count compaction dial for a span posting table that absorbs
+    * admitted documents' spans over time — same trigger and rewrite as
+    * [[StreamingDedup.compactAt]] (PERF §41's creep mechanism is
+    * per-file cost, shared by every bucketed posting layout). Returns
+    * whether a compaction ran. */
+  def compactAt(spark: SparkSession, table: String, baselineFiles: Int,
+                filesFactor: Double = 4.0, buckets: Int = 64): Boolean =
+    PostingCompaction.compactAt(spark, table, baselineFiles, filesFactor,
+      buckets, "csh")
 
   /** Span gate: for each document, count how many of its `n_spans`
     * k-token windows hash-match a corpus span (`matched_spans` counts

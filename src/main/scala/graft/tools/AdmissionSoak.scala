@@ -28,16 +28,24 @@ import graft.streaming.StreamingDedup
   * all batches, first-10 vs last-10 mean (drift under growth), and
   * the growth curve.
   *
+  * Compaction runs through the ENGINE dial
+  * ([[StreamingDedup.compactAt]], VERDICT r15 #6): after each absorb
+  * the dial fires when the posting table's file count exceeds
+  * `filesFactor` × the staged baseline — the soak demonstrates the
+  * production trigger, not a probe-side batch-counting policy.
+  *
   * Usage: runMain graft.tools.AdmissionSoak <sfDir> [nBatches]
-  *          [batchSize]   (defaults 100, 1000)
+  *          [batchSize] [filesFactor]   (defaults 100, 1000, 1.75)
   */
 object AdmissionSoak {
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: AdmissionSoak <sfDir> [nBatches] [batchSize]")
+    require(args.nonEmpty,
+      "usage: AdmissionSoak <sfDir> [nBatches] [batchSize] [filesFactor]")
     val sfDir = args(0)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(100)
     val batchSize = args.lift(2).map(_.toLong).getOrElse(1000L)
+    val filesFactor = args.lift(3).map(_.toDouble).getOrElse(1.75)
     val spark = graft.GraftSession.local("admission-soak")
     import spark.implicits._
 
@@ -61,9 +69,10 @@ object AdmissionSoak {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val nDocs = docs.count()
     val t0 = System.nanoTime()
-    StreamingDedup.stageCorpusBands(spark,
+    val baselineFiles = StreamingDedup.stageCorpusBands(spark,
       graft.operators.DedupOps.minhashSignaturesOf(docs), table)
-    println(f"[soak] staged $table from $nDocs docs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    println(f"[soak] staged $table from $nDocs docs in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"($baselineFiles files; compaction at ${filesFactor}x)")
     def locationOf(name: String): java.io.File = new java.io.File(
       spark.sql(s"DESCRIBE TABLE EXTENDED $name")
         .where(col("col_name") === "Location").select("data_type")
@@ -84,7 +93,7 @@ object AdmissionSoak {
     val m = math.max(1L, nDocs / math.max(batchSize, 1L))
     val latencies = new Array[Double](nBatches)
     var appended = 0L
-    var curTable = table
+    val curTable = table // name stays stable: compactAt swaps in place
     var compactions = 0
     val growth = scala.collection.mutable.ArrayBuffer[(Int, Long, Int)]()
     (0 until nBatches).foreach { b =>
@@ -128,23 +137,15 @@ object AdmissionSoak {
           f"admitted=$nAdm postings+=$appended table=${bytes / 1e6}%.1f MB/$files files")
       } else
         println(f"[soak] batch $b%3d wall=${latencies(b)}%.3f s matches=$nMatches admitted=$nAdm")
-      // COMPACTION every 25 absorbed batches: each append adds one
-      // file per touched bucket (~64/batch), and the first soak run
-      // measured the probe latency creeping +35% over 100 batches as
-      // the file count grew 2048 → 5248 — per-file open/footer costs,
-      // not data volume (bytes grew 14%). A production absorbing gate
-      // compacts on a file-count trigger; the soak demonstrates the
-      // same (one bucketed rewrite, swap, drop) and the latency
-      // recovery shows up in the per-batch series right after.
-      if ((b + 1) % 25 == 0 && b + 1 < nBatches) {
-        val next = s"${table}_c${compactions + 1}"
-        val c0 = System.nanoTime()
-        spark.sql(s"DROP TABLE IF EXISTS $next")
-        spark.table(curTable).write
-          .bucketBy(64, "cbk").sortBy("cbk")
-          .format("parquet").saveAsTable(next)
-        spark.sql(s"DROP TABLE $curTable")
-        curTable = next
+      // COMPACTION through the engine dial (VERDICT r15 #6): each
+      // append adds one file per touched bucket (~64/batch), and the
+      // first soak run measured the probe latency creeping +35% over
+      // 100 batches as the file count grew 2048 → 5248 — per-file
+      // open/footer costs, not data volume (bytes grew 14%). The dial
+      // fires on the file-count trigger and rewrites in place; the
+      // latency recovery shows up in the per-batch series right after.
+      val c0 = System.nanoTime()
+      if (StreamingDedup.compactAt(spark, curTable, baselineFiles, filesFactor)) {
         compactions += 1
         val (bytes, files) = tableFootprint(curTable)
         println(f"[soak] compaction $compactions after batch $b " +

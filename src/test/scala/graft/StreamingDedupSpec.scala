@@ -121,6 +121,63 @@ class StreamingDedupSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("compaction dial fires on the file-count trigger, preserves matches and layout (r16)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val batch = docs.where(expr("doc_id % 10 = 7"))
+    val corpusSig = DedupOps.minhashSignaturesOf(
+      docs.where(expr("NOT (doc_id % 10 = 7)")))
+    val table = "sd_compact_bands"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val baseline = StreamingDedup.stageCorpusBands(spark, corpusSig, table, buckets = 8)
+    try {
+      assert(baseline > 0, "stageCorpusBands must report the staged file count")
+      // absorb two admitted batches, the way the admission loop appends
+      val p = DedupOps.defaultParams
+      (1 to 2).foreach { i =>
+        val extraSig = DedupOps.minhashSignaturesOf(
+          docs.where(expr(s"doc_id % 10 = $i"))
+            .select((col("doc_id") + lit(1000000L * i)).as("doc_id"), col("text")))
+        extraSig.select(col("doc_id").as("corpus_id"),
+            array((0 until p.numHashes).map(j => col(s"mh$j")): _*).as("__sig"))
+          .withColumn("cbk", explode(expr(DedupOps.bandArrayExpr(p))))
+          .select(col("cbk"), col("corpus_id"), col("__sig").as("__csig"))
+          .write.mode("append").bucketBy(8, "cbk").sortBy("cbk")
+          .format("parquet").saveAsTable(table)
+      }
+      val grown = StreamingDedup.postingFileCount(spark, table)
+      assert(grown > baseline, "appends must grow the file count")
+      def pairs() = StreamingDedup.nearDupMatchesBucketed(batch, spark, table)
+        .select("new_id", "corpus_id", "est_jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val before = pairs()
+      assert(before.nonEmpty, "fixture must produce matches")
+      // injected threshold just below the current growth -> fires
+      val factor = math.max(1.0, grown.toDouble / baseline * 0.9)
+      assert(StreamingDedup.compactAt(spark, table, baseline, factor, buckets = 8),
+        s"dial must fire at $grown files vs baseline $baseline, factor $factor")
+      assert(StreamingDedup.postingFileCount(spark, table) < grown,
+        "compaction must reduce the file count")
+      assert(pairs() == before, "compaction must preserve match parity")
+      // bucketed layout survives the rewrite: corpus side still reads
+      // its buckets in place under forced sort-merge
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "-1")
+      try {
+        val plan = StreamingDedup.nearDupMatchesBucketed(batch, spark, table)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"), s"bucket layout lost:\n$plan")
+        assert(!plan.contains("Exchange hashpartitioning(cbk"),
+          s"corpus side exchanged after compaction:\n$plan")
+      } finally spark.conf.set(key, prev)
+      // below threshold now -> no-op
+      assert(!StreamingDedup.compactAt(spark, table, baseline, 1000.0, buckets = 8))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__compacting")
+    }
+  }
+
   test("admission agrees with the batch incremental verdicts at est level") {
     // run the batch-side q61 candidates through the streaming operator
     // in batch mode: every dup_exact/dup_near doc whose est clears the

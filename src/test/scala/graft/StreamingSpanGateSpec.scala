@@ -60,6 +60,44 @@ class StreamingSpanGateSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("span posting compaction fires on the trigger and keeps gate parity (r16)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = docs.where(expr("NOT (doc_id % 10 = 7)"))
+    val batch = docs.where(expr("doc_id % 10 = 7"))
+    val table = "sg_compact_spans"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val baseline = StreamingSpanGate.stageCorpusSpans(spark, corpus, table, buckets = 8)
+    try {
+      assert(baseline > 0)
+      // absorb three admitted batches' spans (disjoint synthetic
+      // tokens per batch), the growth shape of the admission loop
+      import graft.functions.SpanHashes
+      (1 to 3).foreach { i =>
+        docs.where(expr(s"doc_id % 10 = $i"))
+          .select(concat_ws(" ",
+            expr(s"transform(split(text, ' '), t -> concat(t, '~abs$i'))")).as("text"))
+          .select(explode(SpanHashes.span_hashes(col("text"), k)).as("csh"))
+          .distinct()
+          .write.mode("append").bucketBy(8, "csh").sortBy("csh")
+          .format("parquet").saveAsTable(table)
+      }
+      val grown = graft.streaming.StreamingDedup.postingFileCount(spark, table)
+      assert(grown > baseline)
+      def verdicts() = StreamingSpanGate.spanMatches(batch, spark, table)
+        .select("doc_id", "n_spans", "matched_spans")
+        .as[(Long, Int, Long)].collect().toSet
+      val before = verdicts()
+      val factor = math.max(1.0, grown.toDouble / baseline * 0.9)
+      assert(StreamingSpanGate.compactAt(spark, table, baseline, factor, buckets = 8))
+      assert(graft.streaming.StreamingDedup.postingFileCount(spark, table) < grown)
+      assert(verdicts() == before, "compaction must preserve gate verdicts")
+      assert(!StreamingSpanGate.compactAt(spark, table, baseline, 1000.0, buckets = 8))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__compacting")
+    }
+  }
+
   test("span ranges match driver-side island truth") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val corpus = docs.where(expr("NOT (doc_id % 10 = 7)"))
