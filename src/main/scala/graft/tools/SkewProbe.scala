@@ -152,7 +152,11 @@ object SkewProbe {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         for (q <- queries) runOne(s"$tag/smj", dir, q)
-        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        // the force pass goes through the ENGINE dial (VERDICT r15 #5)
+        // with the probe's scaled thresholds, so the knob itself is
+        // what's exercised — not a probe-local conf set
+        graft.GraftSession.skewHardened(spark,
+          s"${thresholdMiB}m", s"${advisoryMiB}m"): Unit
         for (q <- queries) runOne(s"$tag/smj-force", dir, q)
       } finally saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)

@@ -112,4 +112,24 @@ class SkewAuditSpec extends SparkSpec {
           s"over ${v.size} tasks")
     }
   }
+
+  test("skewHardened dial sets the force flag and audited thresholds (r16)") {
+    val keys = Seq("spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      GraftSession.skewHardened(spark, "8m", "4m"): Unit
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      assert(spark.conf.get("spark.sql.adaptive.forceOptimizeSkewedJoin") == "true")
+      assert(spark.conf.get(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes") == "8m")
+      assert(spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes") == "4m")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
