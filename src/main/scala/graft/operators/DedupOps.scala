@@ -214,9 +214,11 @@ object DedupOps {
               verifiedTable(spark, sfDir, p): Unit)) ++
             Seq[(String, () => Unit)](
               "simhash" -> (() => simhashTable(spark, sfDir): Unit),
-              // (no docSetsTable here: the dedicated docsets chain owns
-              // it — a second call would only block on its dir lock and
-              // bill that wait to the prefix chain's [stage] line)
+              // prefix DEPENDS on the docsets chain since r16: its
+              // staged build joins doc_sets' `sk` column instead of
+              // re-aggregating the sketch (PERF §45) — the dir-lock
+              // wait IS billed to prefix's [stage] line, trading idle
+              // time for the removed duplicate aggregate
               "prefix" -> (() =>
                 prefixTable(spark, sfDir, prefixThreshold): Unit),
               "contain" -> (() => containCandTable(spark, sfDir): Unit),
@@ -1274,38 +1276,67 @@ object DedupOps {
     * (`PrefixPlanProbe`: the window's exchange is not reused — its
     * input carries the dfs join), but a narrow one: (doc_id, int32)
     * per shingle row, ~15–20% of the window exchange's width, linear
-    * in corpus bytes, paid once per stage build. */
-  private def prefixFrom(bg: DataFrame, t: Double): DataFrame = {
+    * in corpus bytes — and since r16 paid ONLY on the unstaged path:
+    * the staged build joins the prefix rows to the doc_sets table's
+    * identical `sk` column instead (see [[prefixTable]]). */
+  private def prefixFrom(bg: DataFrame, t: Double): DataFrame =
+    prefixBare(bg, t).join(skFrom(bg), "doc_id")
+
+  /** The rank/length part of the prefix frame, sans sketch. */
+  private def prefixBare(bg: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tL = loosened(t)
     val dfs = bg.groupBy("s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
-    val sk = bg
-      .withColumn("__h32", (col("h") - lit(2147483648L)).cast("int"))
-      .groupBy("doc_id")
-      .agg(collect_list("__h32").as("__hs"))
-      .select(col("doc_id"),
-        graft.functions.BucketSketch.bucket_count_sketch(col("__hs")).as("sk"))
     bg.join(dfs, "s")
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .where(col("rk") <= col("n") - ceil(lit(tL) * col("n")) + 1)
       .select("doc_id", "h60", "rk", "n")
-      .join(sk, "doc_id")
   }
+
+  /** Per-doc 64-bucket count sketch straight from the shingle rows —
+    * value-identical to doc_sets' `sk` column (the sketch is a bag of
+    * per-bucket counts, insensitive to collection order), used only
+    * where no staged doc_sets exists to reuse. */
+  private def skFrom(bg: DataFrame): DataFrame =
+    bg.withColumn("__h32", (col("h") - lit(2147483648L)).cast("int"))
+      .groupBy("doc_id")
+      .agg(collect_list("__h32").as("__hs"))
+      .select(col("doc_id"),
+        graft.functions.BucketSketch.bucket_count_sketch(col("__hs")).as("sk"))
 
   /** Staged probe-prefix frame (`prefix_t800` for the default 0.8):
     * the df-aggregate + window subtree is computed ONCE per corpus;
-    * the self-join's two references then scan parquet. */
+    * the self-join's two references then scan parquet.
+    *
+    * The STAGED build reuses doc_sets' `sk` column through the staged
+    * bucketed table instead of re-aggregating the whole shingle stream
+    * (VERDICT r15 #2: stage v5's own sketch aggregate was a duplicate
+    * of a computation the docsets chain runs anyway, and the 8 GiB
+    * staging wall paid for it). The join's small side is the
+    * POST-FILTER prefix rows (~(1-t)n+1 per doc) and the doc_sets
+    * side reads its buckets in place — far narrower than the per-
+    * shingle-row (doc_id, h32) exchange it replaces. In the staging
+    * DAG this makes prefix a DEPENDENT of the docsets chain (it
+    * blocks on the doc_sets dir lock); docsets lands at ~1/3 of the
+    * wall and prefix was never the critical path, so the wait trades
+    * idle time for the removed duplicate work (A/B: PERF §45).
+    * Table content is unchanged (same rows, same sk values) — no
+    * stage-version bump, no restage. */
   private[graft] def prefixTable(spark: SparkSession, sfDir: String,
                           t: Double): DataFrame = {
-    val compute = prefixFrom(
-      sharedShingles(spark, sfDir).select("doc_id", "s", "h", "h60"), t)
     stagingRoot match {
-      case None => compute
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case None =>
+        prefixFrom(
+          sharedShingles(spark, sfDir).select("doc_id", "s", "h", "h60"), t)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case _ =>
-        staged(spark, sfDir, s"prefix_t${math.round(t * 1000)}")(compute)
+        staged(spark, sfDir, s"prefix_t${math.round(t * 1000)}") {
+          prefixBare(
+            sharedShingles(spark, sfDir).select("doc_id", "s", "h60"), t)
+            .join(docSetsTable(spark, sfDir).select("doc_id", "sk"), "doc_id")
+        }
     }
   }
 

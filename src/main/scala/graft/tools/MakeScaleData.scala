@@ -156,16 +156,21 @@ object MakeScaleData {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: MakeScaleData <srcSfDir> <dstDir> <k> [tpch] [zipf]")
+      "usage: MakeScaleData <srcSfDir> <dstDir> <k> [tpch] [zipf] [docsonly]")
     val src = args(0); val dst = args(1); val k = args(2).toInt
     val zipf = args.contains("zipf")
+    // docsonly: corpus-scale experiments (the q79 past-ceiling run
+    // needs >2M docs = ~150x documents, where 150x embeddings would
+    // only burn disk and generation time)
+    val docsOnly = args.contains("docsonly")
     val spark = GraftSession.local("graft-make-scale-data")
     scaledDocuments(spark, src, k)
       .repartition(GraftSession.cpus.toInt)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
-    scaledEmbeddings(spark, src, k)
-      .repartition(GraftSession.cpus.toInt)
-      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    if (!docsOnly)
+      scaledEmbeddings(spark, src, k)
+        .repartition(GraftSession.cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     if (args.contains("tpch")) {
       (if (zipf) scaledLineitemZipf(spark, src, k)
        else scaledLineitem(spark, src, k))

@@ -6,16 +6,21 @@ import graft.operators.DedupOps
   * generation, and the full prefix-Jaccard pipeline, each timed 3×
   * in one JVM (run-to-run deltas within a run are JIT/page-cache
   * warm-up — compare matching run indices across code versions).
-  * Usage: runMain graft.tools.Q79Probe [sfDir] [stagingRoot] [modes];
+  * Usage: runMain graft.tools.Q79Probe [sfDir] [stagingRoot] [modes|natural];
   * pass an existing staging root so repeated probes don't re-stage; a
   * third arg `modes` skips the stage-attribution rows and runs only
-  * the end-to-end mode A/B (carried/broadcast/pair + past-ceiling). */
+  * the end-to-end mode A/B (carried/broadcast/pair + past-ceiling);
+  * `natural` runs ONLY the shipped entry point with zero overrides —
+  * the VERDICT r15 #4 instrument: on a >2M-doc corpus the auto
+  * dispatch must choose `carried` by itself (the choice is logged by
+  * candidatesDispatch). */
 object Q79Probe {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val root = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("probe_q79").toString)
     val modesOnly = args.lift(2).contains("modes")
+    val naturalOnly = args.lift(2).contains("natural")
     val spark = graft.GraftSession.local("q79-probe")
     graft.SparkEntry.entry(spark).count() // warm-up
     DedupOps.withStagingRoot(Some(root)) {
@@ -24,6 +29,11 @@ object Q79Probe {
         val r = b
         println(f"[q79] $name%-24s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
         spark.catalog.clearCache()
+      }
+      if (naturalOnly) {
+        t("q79 full [natural]")(
+          graft.SparkEntry.queries("q79_prefix_jaccard")(spark, sf).count())
+        spark.stop(); return
       }
       if (modesOnly) { modeAb(spark, sf, t); spark.stop(); return }
       val t0 = System.nanoTime()
