@@ -161,6 +161,18 @@ object AdmissionSoak {
     println(f"[soak] summary n=$nBatches batchSize=$batchSize " +
       f"p50=${pct(0.50)}%.3f p90=${pct(0.90)}%.3f p99=${pct(0.99)}%.3f " +
       f"max=${sorted.last}%.3f s first10mean=$first10%.3f last10mean=$last10%.3f")
+    // per-100-batch windows (VERDICT r15 stretch #9): a flat global
+    // p99 can hide a drifting tail when n >> 100 — the windowed
+    // series is the "production admission gate" evidence shape
+    latencies.grouped(100).zipWithIndex.foreach { case (w, i) =>
+      if (w.length >= 20) {
+        val ws = w.sorted
+        def wp(p: Double) = ws(math.min(ws.length - 1,
+          math.ceil(p * ws.length).toInt - 1))
+        println(f"[soak] window ${i * 100}%4d..${i * 100 + w.length - 1}%4d " +
+          f"p50=${wp(0.50)}%.3f p90=${wp(0.90)}%.3f p99=${wp(0.99)}%.3f s")
+      }
+    }
     growth.foreach { case (b, bytes, files) =>
       println(f"[soak] growth batch=$b%3d bytes=${bytes / 1e6}%.1f MB files=$files") }
     spark.stop()
