@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Native Catalyst expression: minhash-signature agreement count with
+  * an optional LSH band gate, in one codegen loop.
+  *
+  * The built-in formulation the LSH candidate stage used —
+  *
+  *   matches:    `aggregate(zip_with(a, b, (x,y) -> if(x=y,1,0)), 0, (s,e) -> s+e)`
+  *   sharesBand: `exists(sequence(0, numBands-1), k ->
+  *                  slice(a, k*r+1, r) = slice(b, k*r+1, r))`
+  *
+  * — is a stack of HigherOrderFunctions: CodegenFallback, two
+  * materialized intermediate arrays and up to numBands slice
+  * allocations PER CANDIDATE ROW, with per-element lambda dispatch.
+  * On the 100× corpus the est/recheck segment of the candidate build
+  * burned ~23 µs/row interpreted (hundreds of CPU-seconds over the
+  * ~10 M pre-distinct pair rows), and being interpreter-bound made its
+  * wall swing 4–7× run-to-run with JIT mood. This expression computes
+  * both in a single zero-allocation pass inside whole-stage codegen:
+  *
+  *   - `rowsPerBand > 0`: returns -1 when NO aligned band of
+  *     `rowsPerBand` consecutive positions is fully equal (the pair
+  *     was a cross-band hash collision — the exact-recheck semantics
+  *     of the old `sharesBand`), otherwise the per-position agreement
+  *     count (the old `matches`). `m >= 0` replaces the recheck
+  *     filter; `m / numHashes` is est_jaccard, bit-identical.
+  *   - `rowsPerBand == 0`: no band gate, always the agreement count
+  *     (the streaming admission est, whose bucket join is already
+  *     exact on the string band key).
+  *
+  * Null semantics match the built-in stack's observable behavior at
+  * the call sites: null input array, length mismatch, or any null
+  * element yields null (the old forms poisoned `matches` to null the
+  * same way, and every consumer filters on the result, dropping the
+  * row either way).
+  */
+case class BandMatchCount(left: Expression, right: Expression, rowsPerBand: Int)
+    extends BinaryExpression {
+  require(rowsPerBand >= 0, s"rowsPerBand must be >= 0, got $rowsPerBand")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"band_match_count requires two ARRAY<BIGINT> inputs, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements() || (rowsPerBand > 0 && n % rowsPerBand != 0))
+      return null
+    var m = 0
+    var shares = false
+    var bandEq = true
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val eq = x.getLong(i) == y.getLong(i)
+      if (eq) m += 1
+      if (rowsPerBand > 0) {
+        bandEq = bandEq && eq
+        if ((i + 1) % rowsPerBand == 0) {
+          if (bandEq) shares = true
+          bandEq = true
+        }
+      }
+      i += 1
+    }
+    if (rowsPerBand > 0 && !shares) -1 else m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val eq = ctx.freshName("eq")
+      val shares = ctx.freshName("shares")
+      val bandEq = ctx.freshName("bandEq")
+      val bandGate = if (rowsPerBand > 0)
+        s"""
+           |$bandEq = $bandEq && $eq;
+           |if (($i + 1) % $rowsPerBand == 0) {
+           |  if ($bandEq) $shares = true;
+           |  $bandEq = true;
+           |}
+         """.stripMargin
+      else ""
+      val lenGuard = if (rowsPerBand > 0)
+        s"$n != $b.numElements() || $n % $rowsPerBand != 0"
+      else s"$n != $b.numElements()"
+      val result = if (rowsPerBand > 0)
+        s"${ev.value} = $shares ? $m : -1;"
+      else s"${ev.value} = $m;"
+      s"""
+         |int $n = $a.numElements();
+         |if ($lenGuard) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $m = 0;
+         |  boolean $shares = false;
+         |  boolean $bandEq = true;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    boolean $eq = $a.getLong($i) == $b.getLong($i);
+         |    if ($eq) $m++;
+         |    $bandGate
+         |  }
+         |  if (!${ev.isNull}) { $result }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BandMatchCount =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "band_match_count"
+}
+
+object BandMatchCount {
+
+  /** Column form: agreement count of two signature arrays, gated on
+    * sharing at least one aligned band of `rowsPerBand` positions
+    * (-1 = no shared band); `rowsPerBand = 0` disables the gate. */
+  def band_match_count(a: Column, b: Column, rowsPerBand: Int): Column =
+    GraftShim.column(BandMatchCount(
+      GraftShim.expression(a), GraftShim.expression(b), rowsPerBand))
+}

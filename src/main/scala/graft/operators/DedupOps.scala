@@ -463,8 +463,16 @@ object DedupOps {
     stagingRoot match {
       case None => lshCandidatesFrom(sigTable(spark, sfDir, p), p, BandGuard.default)
       case _ =>
+        // sort = false: the read below re-applies the ordering, so an
+        // in-plan global sort at write time is pure waste — and not a
+        // small one: the range exchange's boundary SAMPLING re-executes
+        // the whole post-shuffle segment (distinct + est join-backs), a
+        // second full pass of the most expensive stage on the h8
+        // staging chain (CandBuildProbe: sorted write 154 s vs unsorted
+        // 15 s on the same warmed 100× corpus; PERF §47).
         staged(spark, sfDir, s"cand_h${p.numHashes}_b${p.numBands}")(
-            lshCandidatesFrom(sigTable(spark, sfDir, p), p, BandGuard.default))
+            lshCandidatesFrom(sigTable(spark, sfDir, p), p, BandGuard.default,
+              sort = false))
           .orderBy("doc_a", "doc_b")
     }
 
@@ -486,11 +494,23 @@ object DedupOps {
       p, g)
 
   /** SQL expr producing the band-key array from the `__sig` array
-    * column: band b's key is "b_mh.._mh" over its rowsPerBand slice. */
+    * column: band b's key is "b_mh.._mh" over its rowsPerBand slice.
+    *
+    * UNROLLED per band, not `transform(sequence(...), ...)`: the
+    * higher-order form is CodegenFallback — interpreted lambda
+    * dispatch plus a slice allocation per band per row — and on the
+    * 100× corpus the band-stream build stage swung 2→18 s wall
+    * (47→449 CPU-s) with JIT mood on exactly that interpreter path
+    * (PERF §47). The unrolled concat/element_at tree is entirely
+    * native codegen; key VALUES are identical (same concat layout),
+    * so staged posting tables keep their meaning. */
   private[graft] def bandArrayExpr(p: MinHashParams): String =
-    s"""transform(sequence(0, ${p.numBands - 1}), b -> concat(b, '_',
-       |  concat_ws('_', transform(slice(__sig, b * ${p.rowsPerBand} + 1, ${p.rowsPerBand}),
-       |                           e -> cast(e as string)))))""".stripMargin
+    (0 until p.numBands).map { b =>
+      val elems = (1 to p.rowsPerBand)
+        .map(j => s"cast(element_at(__sig, ${b * p.rowsPerBand + j}) as string)")
+        .mkString(", ")
+      s"concat('${b}_', concat_ws('_', $elems))"
+    }.mkString("array(", ", ", ")")
 
   /** (doc_id, bk) band-key stream of a signature frame (mh0..mhN cols). */
   private[graft] def bandKeysOf(sig: DataFrame, p: MinHashParams): DataFrame =
@@ -498,7 +518,8 @@ object DedupOps {
         array((0 until p.numHashes).map(i => col(s"mh$i")): _*).as("__sig"))
       .select(col("doc_id"), explode(expr(bandArrayExpr(p))).as("bk"))
 
-  private def lshCandidatesFrom(sig: DataFrame, p: MinHashParams, g: BandGuard): DataFrame = {
+  private[graft] def lshCandidatesFrom(sig: DataFrame, p: MinHashParams, g: BandGuard,
+                                       sort: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The signature travels as ONE array column from here on: banding,
     // the guard key, and the match count then run as small codegen loops
@@ -597,11 +618,18 @@ object DedupOps {
       // element_at per rank instead of slice(): the slice form
       // allocates a fresh 8-long array per band per row (16 per row at
       // b16) just to feed the hash — measured 4.0 vs ~1.5 s over the
-      // 100× 8M-band stream
-      val elems = (1 to p.rowsPerBand)
-        .map(j => s"element_at(__sig, b * ${p.rowsPerBand} + $j)")
-        .mkString(", ")
-      s"transform(sequence(0, ${p.numBands - 1}), b -> xxhash64(b, $elems))"
+      // 100× 8M-band stream. UNROLLED per band rather than
+      // transform(sequence(...)): the higher-order form is
+      // CodegenFallback and its interpreted eval made this stage's
+      // wall swing 2→18 s at 100× with JIT mood (PERF §47); the
+      // unrolled xxhash64 tree is native codegen with identical key
+      // values (the band index hashes as the same INT).
+      (0 until p.numBands).map { b =>
+        val elems = (1 to p.rowsPerBand)
+          .map(j => s"element_at(__sig, ${b * p.rowsPerBand + j})")
+          .mkString(", ")
+        s"xxhash64($b, $elems)"
+      }.mkString("array(", ", ", ")")
     }
     val bands0 = bandSig.select(col("doc_id"), explode(expr(bandHashExpr)).as("bk"))
     // --- guard stage 2: per-bucket membership cap --------------------------
@@ -654,22 +682,28 @@ object DedupOps {
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val matches = expr(
-      "aggregate(zip_with(__sig_a, __sig_b, (x, y) -> if(x = y, 1, 0)), 0, (a, e) -> a + e)")
-    val sharesBand = expr(
-      s"""exists(sequence(0, ${p.numBands - 1}), b ->
-         |  slice(__sig_a, b * ${p.rowsPerBand} + 1, ${p.rowsPerBand}) =
-         |  slice(__sig_b, b * ${p.rowsPerBand} + 1, ${p.rowsPerBand}))"""
-        .stripMargin)
+    // Agreement count + band recheck in ONE native codegen pass
+    // (graft.functions.BandMatchCount): the former
+    // aggregate(zip_with(...)) / exists(slice = slice) pair is a
+    // CodegenFallback higher-order stack that evaluated interpreted at
+    // ~23 µs per candidate row — the dominant CPU of the candidate
+    // stage at 100× and the source of its 4–7× run-to-run wall swings
+    // (PERF §47). m >= 0 is the exact sharesBand recheck; the division
+    // reproduces est_jaccard bit-identically.
+    val m = graft.functions.BandMatchCount.band_match_count(
+      col("__sig_a"), col("__sig_b"), p.rowsPerBand)
     cand
       .join(arr.select(col("doc_id").as("doc_a"), col("__sig").as("__sig_a")), "doc_a")
       .join(arr.select(col("doc_id").as("doc_b"), col("__sig").as("__sig_b")), "doc_b")
-      .where(sharesBand)
-      .withColumn("est_jaccard", matches.cast("double") / p.numHashes)
+      .withColumn("__m", m)
+      .where(col("__m") >= 0)
+      .withColumn("est_jaccard", col("__m").cast("double") / p.numHashes)
       .where(col("est_jaccard") >= estThreshold)
       .select("doc_a", "doc_b", "est_jaccard")
-      .unionByName(starPairs)
-      .orderBy("doc_a", "doc_b")
+      .unionByName(starPairs) match {
+      case out if sort => out.orderBy("doc_a", "doc_b")
+      case out         => out
+    }
   }
 
   /** Band-stream persists taken by LIBRARY calls (outside any staged

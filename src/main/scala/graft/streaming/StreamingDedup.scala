@@ -86,9 +86,14 @@ object StreamingDedup {
   }
 
   /** The estimated-agreement count between the stream's `__sig` and
-    * the corpus row's `__csig`. */
-  private val sigAgreement: Column = expr(
-    "aggregate(zip_with(__sig, __csig, (x, y) -> if(x = y, 1, 0)), 0, (a, e) -> a + e)")
+    * the corpus row's `__csig` — the native one-pass codegen form
+    * ([[graft.functions.BandMatchCount]], rowsPerBand = 0: the bucket
+    * join is already exact on the string band key, so no band gate);
+    * the old aggregate(zip_with(...)) fold was CodegenFallback and
+    * interpreter-bound on the per-batch admission hot path (PERF §47). */
+  private val sigAgreement: Column =
+    graft.functions.BandMatchCount.band_match_count(
+      col("__sig"), col("__csig"), 0)
 
   /** Band-probe join against a prepared `(cbk, corpus_id, __csig)`
     * posting frame. */
