@@ -31,30 +31,23 @@ import graft.operators.{DedupOps, MinHashParams}
   */
 object StreamingDedup {
 
-  /** Per-element minhash mins over a pre-computed `__hs` hash-array
-    * column — each entry is bit-identical to the batch signature
-    * table's mh_i column. */
-  private def sigArrayExpr(p: MinHashParams): String = {
-    val mins = (0 until p.numHashes)
-      .map(i => s"array_min(transform(__hs, h -> (${DedupOps.coeffA(i)} * h " +
-        s"+ ${DedupOps.coeffB(i)}) % ${DedupOps.P}))")
-      .mkString(", ")
-    s"case when size(__hs) = 0 then cast(null as array<bigint>) else array($mins) end"
-  }
-
   /** Attach `__sig` (narrow, shuffle-free minhash signature as
     * array<bigint>) to a frame with a `text` column; rows without a
-    * bigram (docs under two tokens) carry a NULL `__sig`. The shingle
-    * hashes come from the same native expression the batch path uses
-    * (graft.functions.ShingleHashes), so batch/stream signature parity
-    * holds by construction. */
+    * bigram (docs under two tokens) carry a NULL `__sig`. The
+    * signature IS the batch path's native one-pass expression
+    * ([[graft.functions.MinHashSig]] — the same codegen loop behind
+    * the staged signature tables), so batch/stream parity holds by
+    * construction. (An earlier form recomputed the mins as
+    * `numHashes` `array_min(transform(__hs, ...))` expressions over
+    * the shingle-hash array; those are HigherOrderFunctions —
+    * CodegenFallback, interpreted per stream row on the admission
+    * gate's per-batch hot path. PERF §47.) */
   def withSignatureAll(docs: DataFrame,
                        p: MinHashParams = DedupOps.defaultParams): DataFrame =
-    docs.withColumn("__sh",
-        graft.functions.ShingleHashes.shingle_hashes(col("text")))
-      .withColumn("__hs", expr("transform(__sh, x -> x.h)"))
-      .withColumn("__sig", expr(sigArrayExpr(p)))
-      .drop("__sh", "__hs")
+    docs.withColumn("__sig0",
+        graft.functions.MinHashSig.minhash_sig(col("text"), p.numHashes))
+      .withColumn("__sig", when(size(col("__sig0")) > 0, col("__sig0")))
+      .drop("__sig0")
 
   /** [[withSignatureAll]] with the unsignable rows dropped — they
     * cannot near-duplicate anything. */
