@@ -44,6 +44,12 @@ object BenchPointer {
   /** The quietest valid run among `runs` (newest-N window already
     * applied by the caller): lowest calibMax, tiebreak lowest boot
     * 5-min load (NaN sorts last). */
+  /** Exact-suffix tag match: history files are `bench_<ts>_<tag>.json`,
+    * and a substring test lets `scale10` swallow `scale100` runs — the
+    * r16 first pass pointed bench_10x at a 100× artifact that way. */
+  private[graft] def matchesTag(name: String, sfTag: String): Boolean =
+    name.startsWith("bench_") && name.endsWith("_" + sfTag + ".json")
+
   private[graft] def pick(runs: Seq[Run]): Option[Run] =
     runs.filter(_.valid).sortBy(r =>
       (r.calibMax, if (r.load5Boot.isNaN) Double.MaxValue else r.load5Boot))
@@ -56,8 +62,7 @@ object BenchPointer {
     val maxN = args.lift(2).map(_.toInt).getOrElse(4)
     val histDir = java.nio.file.Paths.get("bench", "history")
     val candidates = Option(histDir.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("bench_") &&
-        f.getName.contains("_" + sfTag) && f.getName.endsWith(".json"))
+      .filter(f => matchesTag(f.getName, sfTag))
       .sortBy(_.getName).takeRight(maxN)
       .flatMap { f =>
         parse(f.toPath, new String(

@@ -112,4 +112,15 @@ class BenchArtifactSpec extends AnyFunSuite {
     val tieB = run("bench_20260814T0005_x.json", art(valid = true, 0.10, 0.10, 0.5, 181.0))
     assert(BenchPointer.pick(Seq(tieA, tieB)).get.name == tieB.name)
   }
+
+  test("BenchPointer tag match is exact-suffix, not substring") {
+    import graft.tools.BenchPointer.matchesTag
+    assert(matchesTag("bench_20260815T073949_scale10.json", "scale10"))
+    // the r16 trap: scale10 must NOT match a scale100 history file
+    assert(!matchesTag("bench_20260815T075445_scale100.json", "scale10"))
+    assert(matchesTag("bench_20260815T075445_scale100.json", "scale100"))
+    assert(!matchesTag("bench_20260815T055621_sf0.1.json", "sf0"))
+    assert(matchesTag("bench_20260815T055621_sf0.1.json", "sf0.1"))
+    assert(!matchesTag("notbench_20260815_scale10.json", "scale10"))
+  }
 }
