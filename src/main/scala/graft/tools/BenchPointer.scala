@@ -23,7 +23,8 @@ package graft.tools
 object BenchPointer {
 
   private[graft] final case class Run(path: java.nio.file.Path, name: String,
-      valid: Boolean, calibMax: Double, load5Boot: Double, totalSec: Double)
+      valid: Boolean, calibMax: Double, load5Boot: Double, totalSec: Double,
+      warned: Boolean)
 
   private def field(json: String, key: String): Option[String] = {
     val m = ("\"" + java.util.regex.Pattern.quote(key) +
@@ -39,20 +40,28 @@ object BenchPointer {
       total <- field(json, "value").flatMap(_.toDoubleOption)
     } yield Run(path, path.getFileName.toString, valid, math.max(cs, ce),
       field(json, "loadavg_boot").map(graft.Bench.load5)
-        .getOrElse(Double.NaN), total)
+        .getOrElse(Double.NaN), total,
+      // any gate warning (load5 tier etc.) demotes the run: the
+      // artifact ITSELF says "prefer a quieter same-code history run"
+      !json.replaceAll("\\s", "").contains("\"warnings\":{}"))
 
-  /** The quietest valid run among `runs` (newest-N window already
-    * applied by the caller): lowest calibMax, tiebreak lowest boot
-    * 5-min load (NaN sorts last). */
   /** Exact-suffix tag match: history files are `bench_<ts>_<tag>.json`,
     * and a substring test lets `scale10` swallow `scale100` runs — the
     * r16 first pass pointed bench_10x at a 100× artifact that way. */
   private[graft] def matchesTag(name: String, sfTag: String): Boolean =
     name.startsWith("bench_") && name.endsWith("_" + sfTag + ".json")
 
+  /** The quietest valid run among `runs` (newest-N window already
+    * applied by the caller): unwarned before warned — a run whose own
+    * gate attached a contention warning must lose to any clean run,
+    * whatever their calib probes say (the r16 first 10× refresh picked
+    * a load5-warned 97.3 s run over a clean 82.1 s one on a 0.03 calib
+    * edge) — then lowest calibMax, tiebreak lowest boot 5-min load
+    * (NaN sorts last). */
   private[graft] def pick(runs: Seq[Run]): Option[Run] =
     runs.filter(_.valid).sortBy(r =>
-      (r.calibMax, if (r.load5Boot.isNaN) Double.MaxValue else r.load5Boot))
+      (r.warned, r.calibMax,
+        if (r.load5Boot.isNaN) Double.MaxValue else r.load5Boot))
       .headOption
 
   def main(args: Array[String]): Unit = {
@@ -70,7 +79,7 @@ object BenchPointer {
           java.nio.charset.StandardCharsets.UTF_8))
       }.toSeq
     candidates.foreach { r =>
-      println(f"[pointer] candidate ${r.name} valid=${r.valid} " +
+      println(f"[pointer] candidate ${r.name} valid=${r.valid} warned=${r.warned} " +
         f"calibMax=${r.calibMax}%.3f load5Boot=${r.load5Boot}%.2f total=${r.totalSec}%.1f s")
     }
     pick(candidates) match {

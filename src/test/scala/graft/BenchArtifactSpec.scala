@@ -92,9 +92,11 @@ class BenchArtifactSpec extends AnyFunSuite {
 
   test("BenchPointer ranks by calib then load5 and skips invalid runs") {
     import graft.tools.BenchPointer
-    def art(valid: Boolean, cs: Double, ce: Double, l5: Double, total: Double) =
+    def art(valid: Boolean, cs: Double, ce: Double, l5: Double, total: Double,
+            warnings: String = "{}") =
       s"""{"metric":"total","value":$total,"valid":$valid,""" +
         s""""calib_start_sec":$cs,"calib_end_sec":$ce,""" +
+        s""""warnings":$warnings,""" +
         s""""loadavg_boot":"1.00 $l5 1.00 1/1 1"}"""
     val dir = java.nio.file.Files.createTempDirectory("ptr")
     def run(name: String, json: String) = {
@@ -111,6 +113,15 @@ class BenchArtifactSpec extends AnyFunSuite {
     val tieA = run("bench_20260814T0004_x.json", art(valid = true, 0.10, 0.10, 3.0, 180.0))
     val tieB = run("bench_20260814T0005_x.json", art(valid = true, 0.10, 0.10, 0.5, 181.0))
     assert(BenchPointer.pick(Seq(tieA, tieB)).get.name == tieB.name)
+    // a gate-warned run loses to ANY clean run, even on a better calib
+    // (the r16 10x refresh trap: warned 97.3 s beat clean 82.1 s on a
+    // 0.03 calib edge)
+    val warned = run("bench_20260814T0006_x.json",
+      art(valid = true, 0.05, 0.05, 8.0, 170.0,
+        warnings = """{"load5":"loadavg5_start 7.97 > 4.00"}"""))
+    val clean = run("bench_20260814T0007_x.json", art(valid = true, 0.12, 0.12, 0.8, 182.0))
+    assert(warned.warned && !clean.warned)
+    assert(BenchPointer.pick(Seq(warned, clean)).get.name == clean.name)
   }
 
   test("BenchPointer tag match is exact-suffix, not substring") {
