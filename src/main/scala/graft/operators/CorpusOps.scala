@@ -167,12 +167,16 @@ object CorpusOps {
     * One narrow scoring map + one bigram aggregate (the repetition
     * rule's shuffle) joined back by doc_id. */
   def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val stopPred = "x = 'the' OR x = 'a'"
     val base = Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", expr("size(toks)"))
       .withColumn("n_distinct", expr("size(array_distinct(toks))"))
-      .withColumn("stop_cnt", expr(s"size(filter(toks, x -> $stopPred))"))
+      // codegen set ops instead of the higher-order filter(toks, ...)
+      // lambda (CodegenFallback, interpreted per row — PERF §47);
+      // array_remove drops every occurrence and split() never yields
+      // null elements, so the count is identical
+      .withColumn("stop_cnt",
+        expr("size(toks) - size(array_remove(array_remove(toks, 'the'), 'a'))"))
     val dup = base.where(expr("size(toks) >= 2"))
       .selectExpr("doc_id",
         """explode(transform(sequence(1, size(toks) - 1),

@@ -38,7 +38,15 @@ object StreamingCuration {
   def withQuality(docs: DataFrame): DataFrame =
     docs.withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", expr("size(toks)"))
-      .withColumn("__bg", expr(DedupOps.bigramsE))
+      // distinct-bigram COUNT via the native one-pass shingle
+      // expression — the rule only needs the count, and the previous
+      // `transform(sequence(...), concat(...))` + array_distinct form
+      // is a CodegenFallback higher-order stack, interpreted per
+      // stream row on the admission hot path (PERF §47); ShingleHashes
+      // emits exactly one struct per DISTINCT word bigram, so the
+      // counts are equal by construction (spec-pinned below)
+      .withColumn("__ndbg",
+        size(graft.functions.ShingleHashes.shingle_hashes(col("text"))))
       .withColumn("__nbg", expr("greatest(size(toks) - 1, 0)"))
       // malformed input (null/absent text) must REJECT, not slide
       // through: with null text every rule below evaluates to null,
@@ -48,9 +56,15 @@ object StreamingCuration {
       .withColumn("r_short", !col("r_null") && col("n_tokens") < 20)
       .withColumn("r_lowdiv",
         expr("size(array_distinct(toks)) * 100 < size(toks) * 35"))
+      // stop-token count as codegen set ops (size minus size after
+      // removing each stop token) — `filter(toks, x -> ...)` is a
+      // higher-order interpreted per row; array_remove drops every
+      // occurrence, and split() never yields null elements, so the
+      // counts are identical
       .withColumn("r_stop",
-        expr("size(filter(toks, x -> x = 'the' OR x = 'a')) * 100 > size(toks) * 18"))
-      .withColumn("r_repet", expr("(__nbg - size(__bg)) * 5 >= __nbg AND __nbg > 0"))
+        expr("(size(toks) - size(array_remove(array_remove(toks, 'the'), 'a')))" +
+          " * 100 > size(toks) * 18"))
+      .withColumn("r_repet", expr("(__nbg - __ndbg) * 5 >= __nbg AND __nbg > 0"))
       .withColumn("reasons", concat_ws(",",
         when(col("r_null"), lit("null_text")),
         when(col("r_short"), lit("too_short")),
@@ -58,7 +72,7 @@ object StreamingCuration {
         when(col("r_stop"), lit("high_stopword")),
         when(col("r_repet"), lit("repetitive"))))
       .withColumn("pass", (col("reasons") === "").cast("int"))
-      .drop("toks", "__bg", "__nbg", "r_null", "r_short", "r_lowdiv", "r_stop",
+      .drop("toks", "__ndbg", "__nbg", "r_null", "r_short", "r_lowdiv", "r_stop",
         "r_repet")
 
   /** Fold the corpus's LSH band keys into a Bloom filter (one

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr, size, split}
 
 import graft.operators.DedupOps
 import graft.streaming.StreamingCuration
@@ -85,5 +86,41 @@ class StreamingCurationSpec extends SparkSpec {
     corpusSig.unpersist()
     assert(verify.toSet == Set((1L, 100L)),
       s"verifier must confirm exactly the near-dup: ${verify.mkString(",")}")
+  }
+
+  test("native quality columns match the higher-order forms they replaced") {
+    // r16: withQuality swapped the lambda-based distinct-bigram count
+    // and stop-token count for native codegen forms (PERF §47); this
+    // pins value parity against the EXACT old expressions on docs that
+    // exercise duplicates, stop-word density, empties, and unicode
+    val tricky = Seq(
+      (90001L, "the a the a the a the a the a the a the a the a the a the a"),
+      (90002L, "rep rep rep rep rep rep rep rep rep rep rep rep rep rep"),
+      (90003L, ""), (90004L, "solo"), (90005L, " leading the  double "),
+      (90006L, "日本 語 the テスト a 🙂"), (90007L, null.asInstanceOf[String])) ++
+      Tables.documents(spark, sf).select("doc_id", "text")
+        .as[(Long, String)].collect().toSeq
+    val df = tricky.toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+    val cmp = df.select(
+      expr("size(filter(toks, x -> x = 'the' OR x = 'a'))").as("stop_old"),
+      expr("size(toks) - size(array_remove(array_remove(toks, 'the'), 'a'))")
+        .as("stop_new"),
+      expr(s"size(${DedupOps.bigramsE})").as("nbg_old"),
+      size(graft.functions.ShingleHashes.shingle_hashes(col("text"))).as("nbg_new"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getInt(0) == r.getInt(1)), s"stop count: $r")
+      assert(r.isNullAt(2) == r.isNullAt(3) &&
+        (r.isNullAt(2) || r.getInt(2) == r.getInt(3)), s"bigram count: $r")
+    }
+    // and the assembled verdict columns are unchanged end-to-end
+    val out = StreamingCuration.withQuality(df.drop("toks"))
+      .select("doc_id", "reasons", "pass").as[(Long, String, Int)]
+      .collect().map { case (d, r, p) => d -> ((r, p)) }.toMap
+    assert(out(90001L)._1.contains("high_stopword"))
+    assert(out(90002L)._1.contains("repetitive"))
+    assert(out(90007L)._1.startsWith("null_text") && out(90007L)._2 == 0)
   }
 }
