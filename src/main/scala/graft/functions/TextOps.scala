@@ -141,18 +141,23 @@ object TextOps {
     * doc; linear at corpus scale. Single-token docs have no bigrams and
     * drop out, exactly as in the oracle. */
   def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val bigramsAll =
-      """transform(sequence(1, size(toks) - 1),
-        |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin
+    // Whole census per row via the native one-pass expression
+    // (graft.functions.BigramRepStats): a bigram never matters beyond
+    // its own document, so the former explode(transform(...)) →
+    // groupBy(doc_id, bg) → groupBy(doc_id) pipeline — an interpreted
+    // higher-order transform feeding a corpus-sized bigram-string
+    // shuffle plus a per-doc shuffle — folds into the documents scan.
+    // Zero exchanges; bit-identical aggregates (spec-pinned against
+    // the exploded form). Docs with < 2 tokens return a null struct
+    // and drop out, exactly as they were absent from the old groupBy.
     Tables.documents(spark, sfDir)
-      .withColumn("toks", split(col("text"), " "))
-      .where(expr("size(toks) >= 2"))
-      .selectExpr("doc_id", s"explode($bigramsAll) AS bg")
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(
-        sum("cnt").as("n_bigrams"),
-        max("cnt").as("top_bigram_cnt"),
-        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_bigram_cnt"))
+      .withColumn("__st",
+        graft.functions.BigramRepStats.bigram_rep_stats(col("text")))
+      .where(col("__st").isNotNull)
+      .select(col("doc_id"),
+        col("__st.n_bigrams").as("n_bigrams"),
+        col("__st.top_bigram_cnt").as("top_bigram_cnt"),
+        col("__st.dup_bigram_cnt").as("dup_bigram_cnt"))
       .withColumn("top_frac", round(col("top_bigram_cnt") * lit(1.0) / col("n_bigrams"), 6))
       .withColumn("dup_frac", round(col("dup_bigram_cnt") * lit(1.0) / col("n_bigrams"), 6))
       .withColumn("repetitive", (col("dup_frac") >= 0.2).cast("int"))

@@ -177,16 +177,17 @@ object CorpusOps {
       // null elements, so the count is identical
       .withColumn("stop_cnt",
         expr("size(toks) - size(array_remove(array_remove(toks, 'the'), 'a'))"))
-    val dup = base.where(expr("size(toks) >= 2"))
-      .selectExpr("doc_id",
-        """explode(transform(sequence(1, size(toks) - 1),
-          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) AS bg"""
-          .stripMargin)
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(
-        sum("cnt").as("n_bigrams"),
-        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_cnt"))
-    base.join(dup, Seq("doc_id"), "left")
+    // repetition aggregates per row via the native one-pass census
+    // (graft.functions.BigramRepStats) — the former explode+double-
+    // groupBy subtree shuffled the corpus bigram-string stream twice
+    // and joined back; now the whole rule stays inside the scan
+    // (PERF §47). Null struct (< 2 tokens) reproduces the old left
+    // join's null dup_cnt, so the coalesce below is unchanged.
+    base
+      .withColumn("__st",
+        graft.functions.BigramRepStats.bigram_rep_stats(col("text")))
+      .withColumn("n_bigrams", col("__st.n_bigrams"))
+      .withColumn("dup_cnt", col("__st.dup_bigram_cnt"))
       .withColumn("r_short", col("n_tokens") < 20)
       .withColumn("r_lowdiv", col("n_distinct") * 100 < col("n_tokens") * 35)
       .withColumn("r_stop", col("stop_cnt") * 100 > col("n_tokens") * 18)
