@@ -36,11 +36,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   *     (the streaming admission est, whose bucket join is already
   *     exact on the string band key).
   *
-  * Null semantics match the built-in stack's observable behavior at
-  * the call sites: null input array, length mismatch, or any null
-  * element yields null (the old forms poisoned `matches` to null the
-  * same way, and every consumer filters on the result, dropping the
-  * row either way).
+  * Null semantics: a null INPUT ARRAY yields null, same as the old
+  * stack. On MALFORMED inputs the forms deliberately diverge (ADVICE
+  * r16): a length mismatch or a null element yields null here, while
+  * the old `aggregate(zip_with(...))` returned a non-null count
+  * (zip_with pads the shorter array with nulls and `if(null,1,0)`
+  * contributes 0). Unreachable at every call site — signatures are
+  * fixed-length arrays of non-null BIGINTs by construction — and in
+  * both worlds the consumer's threshold filter drops such a row
+  * (null comparisons are never true); the spec pins the intended
+  * divergence explicitly.
   */
 case class BandMatchCount(left: Expression, right: Expression, rowsPerBand: Int)
     extends BinaryExpression {

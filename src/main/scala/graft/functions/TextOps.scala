@@ -21,14 +21,18 @@ object TextOps {
     * regex token count, type-token ratio, stopword ratio, mean token
     * length, and a composite quality score. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val stopPred = stopwords.map(w => s"x = '$w'").mkString(" OR ")
+    // stopword count WITHOUT a lambda: filter(toks, x -> ...) is a
+    // HigherOrderFunction (CodegenFallback — the r17 CodegenSweep
+    // flagged it, PERF §50); size-difference over nested array_remove
+    // is the same count in pure codegen'd collection expressions
+    val nonStop = stopwords.foldLeft("toks")((e, w) => s"array_remove($e, '$w')")
     Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " ")) // tokenize once, not per expression
       .withColumn("n_tokens", expr("size(toks)"))
       .withColumn("n_bpeish", expr(
         "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))"))
       .withColumn("n_distinct", expr("size(array_distinct(toks))"))
-      .withColumn("stop_cnt", expr(s"size(filter(toks, x -> $stopPred))"))
+      .withColumn("stop_cnt", expr(s"size(toks) - size($nonStop)"))
       .withColumn("ttr", round(col("n_distinct") / col("n_tokens"), 6))
       .withColumn("stop_ratio", round(col("stop_cnt") / col("n_tokens"), 6))
       .withColumn("mean_tok_len",

@@ -332,12 +332,13 @@ object CorpusOps {
     * shuffle-joins past that. Chunk identity travels as an 8-byte
     * xxhash64 in the Spark plan, never the chunk string. */
   def boilerplateChunks(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .withColumn("toks", split(col("text"), " "))
-    val chunks = docs.selectExpr("doc_id",
-      s"""explode(transform(sequence(0, cast(ceil(size(toks) / ${chunkLen}.0) as int) - 1),
-         |  i -> concat_ws(' ', slice(toks, i * $chunkLen + 1, $chunkLen)))) AS chunk"""
-        .stripMargin)
+    // native one-pass chunk strings (r17 CodegenSweep): same
+    // CodegenFallback class as q80's window generator — chunk_strings
+    // is the stride=k, short-tail-included geometry of SpanStrings,
+    // substring-copied from the text inside codegen (PERF §50)
+    val chunks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(
+        graft.functions.SpanStrings.chunk_strings(col("text"), chunkLen)).as("chunk"))
       .withColumn("ch", xxhash64(col("chunk"))).drop("chunk")
     val boiler = chunks.groupBy("ch")
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -428,13 +429,15 @@ object CorpusOps {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val candHashes = spanCandTable(spark, sfDir)
     val hitDocs = spanDocsTable(spark, sfDir)
+    // native one-pass window strings (r17 CodegenSweep): the old
+    // transform(sequence(...), i -> concat_ws(' ', slice(toks, i, k)))
+    // was a CodegenFallback lambda with a token-array slice per window
+    // (PERF §50); span_strings emits each window as one substring of
+    // the original text inside codegen, and explode drops the empty
+    // array for sub-k docs (the old size(toks) >= k guard)
     val spans = docs.join(hitDocs, "doc_id")
-      .withColumn("toks", split(col("text"), " "))
-      .where(size(col("toks")) >= spanLen)
-      .selectExpr("doc_id",
-        s"""explode(transform(sequence(1, size(toks) - ${spanLen - 1}),
-           |  i -> concat_ws(' ', slice(toks, i, $spanLen)))) AS span"""
-          .stripMargin)
+      .select(col("doc_id"), explode(
+        graft.functions.SpanStrings.span_strings(col("text"), spanLen)).as("span"))
     spans
       .withColumn("sh", graft.functions.SpanHashes.span_hash(col("span")))
       .join(candHashes, "sh")
@@ -490,12 +493,11 @@ object CorpusOps {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val candHashes = spanCandTable(spark, sfDir)
     val hitDocs = spanDocsTable(spark, sfDir)
+    // same native window-string generator as q80 (PERF §50); the
+    // posexplode position is the 0-based window index, as before
     val wins = docs.join(hitDocs, "doc_id")
-      .withColumn("toks", split(col("text"), " "))
-      .where(size(col("toks")) >= spanLen)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(1, size(toks) - ${spanLen - 1}),
-           |  i -> concat_ws(' ', slice(toks, i, $spanLen)))""".stripMargin)))
+      .select(col("doc_id"), posexplode(
+        graft.functions.SpanStrings.span_strings(col("text"), spanLen)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
         col("col").as("span"))
       .withColumn("sh", graft.functions.SpanHashes.span_hash(col("span")))

@@ -37,11 +37,22 @@ object StreamingDedup {
     * signature IS the batch path's native one-pass expression
     * ([[graft.functions.MinHashSig]] — the same codegen loop behind
     * the staged signature tables), so batch/stream parity holds by
-    * construction. (An earlier form recomputed the mins as
-    * `numHashes` `array_min(transform(__hs, ...))` expressions over
-    * the shingle-hash array; those are HigherOrderFunctions —
-    * CodegenFallback, interpreted per stream row on the admission
-    * gate's per-batch hot path. PERF §47.) */
+    * construction for every signable row. (An earlier form recomputed
+    * the mins as `numHashes` `array_min(transform(__hs, ...))`
+    * expressions over the shingle-hash array; those are
+    * HigherOrderFunctions — CodegenFallback, interpreted per stream
+    * row on the admission gate's per-batch hot path. PERF §47.)
+    *
+    * One INTENTIONAL divergence from the pre-§47 form (ADVICE r16):
+    * a NULL `text` now yields a NULL `__sig` (MinHashSig is
+    * null-propagating, and `size(null) > 0` is never true), so
+    * [[withSignature]] drops the row with the other unsignables; the
+    * old case-when over the shingle-hash array produced an array of
+    * `numHashes` NULL elements and let the row flow on with a garbage
+    * signature. Dropping is the contract — a null document cannot
+    * near-duplicate anything — and curation rejects null text
+    * upstream anyway; the batch/stream parity spec pins a null-text
+    * row to this behavior. */
   def withSignatureAll(docs: DataFrame,
                        p: MinHashParams = DedupOps.defaultParams): DataFrame =
     docs.withColumn("__sig0",
@@ -158,4 +169,28 @@ object StreamingDedup {
                 filesFactor: Double = 4.0, buckets: Int = 64): Boolean =
     PostingCompaction.compactAt(spark, table, baselineFiles, filesFactor,
       buckets, "cbk")
+
+  /** FLOOR-KEYED compaction dial for a band posting table — the form
+    * a long-running admission loop should hold (VERDICT r16 #1). The
+    * stateless [[compactAt]] keys its threshold off the STAGED file
+    * count forever, but a bucketed rewrite lands at a geometric floor
+    * well above it (r16 soak: ~3,200 files over a 2,048 baseline —
+    * bucket count × writer tasks), silently turning a 1.75× dial into
+    * a fire-every-7-batches dial. The [[CompactionDial]] re-keys off
+    * the measured post-compaction count after every firing, so
+    * `filesFactor` means what it says against the table's actual
+    * compacted self. See PERF §48/§49.
+    *
+    * Heap sizing note for admission workloads (PERF §48): run the
+    * admission JVM at a BOUNDED heap (the repo-standard 16 GiB stays
+    * flat over 1,000+ batches). An oversized heap is not safer — G1
+    * at 100 GiB grows multi-GB young generations whose evacuation
+    * pauses landed as 40–131 s batch spikes in the r16 soak;
+    * [[graft.tools.AdmissionSoak.heapWarning]] is the startup check.
+    *
+    * @param baselineFiles the count [[stageCorpusBands]] returned */
+  def compactionDial(table: String, baselineFiles: Int,
+                     filesFactor: Double = 2.0,
+                     buckets: Int = 64): CompactionDial =
+    new CompactionDial(table, baselineFiles, filesFactor, buckets, "cbk")
 }

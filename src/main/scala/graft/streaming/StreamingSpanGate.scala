@@ -70,6 +70,15 @@ object StreamingSpanGate {
     PostingCompaction.compactAt(spark, table, baselineFiles, filesFactor,
       buckets, "csh")
 
+  /** Floor-keyed dial for a span posting table — same geometry fix as
+    * [[StreamingDedup.compactionDial]] (VERDICT r16 #1, PERF §48/§49):
+    * after every compaction the threshold re-keys off the measured
+    * post-compaction file count instead of the staged baseline. */
+  def compactionDial(table: String, baselineFiles: Int,
+                     filesFactor: Double = 2.0,
+                     buckets: Int = 64): CompactionDial =
+    new CompactionDial(table, baselineFiles, filesFactor, buckets, "csh")
+
   /** Span gate: for each document, count how many of its `n_spans`
     * k-token windows hash-match a corpus span (`matched_spans` counts
     * DISTINCT matched windows) and emit the per-mille contamination

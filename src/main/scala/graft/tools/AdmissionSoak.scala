@@ -29,15 +29,35 @@ import graft.streaming.StreamingDedup
   * the growth curve.
   *
   * Compaction runs through the ENGINE dial
-  * ([[StreamingDedup.compactAt]], VERDICT r15 #6): after each absorb
-  * the dial fires when the posting table's file count exceeds
-  * `filesFactor` × the staged baseline — the soak demonstrates the
-  * production trigger, not a probe-side batch-counting policy.
+  * ([[StreamingDedup.compactionDial]], VERDICT r15 #6 / r16 #1): after
+  * each absorb the floor-keyed [[graft.streaming.CompactionDial]]
+  * fires when the posting table's file count exceeds `filesFactor` ×
+  * its current floor (staged baseline before the first compaction,
+  * measured post-compaction landing after — the r16 soak's geometry
+  * finding, PERF §48) — the soak demonstrates the production trigger,
+  * not a probe-side batch-counting policy.
   *
   * Usage: runMain graft.tools.AdmissionSoak <sfDir> [nBatches]
-  *          [batchSize] [filesFactor]   (defaults 100, 1000, 1.75)
+  *          [batchSize] [filesFactor]   (defaults 100, 1000, 1.5)
   */
 object AdmissionSoak {
+
+  /** Heap-sizing tripwire (VERDICT r16 #6): the r16 soak's first
+    * attempt ran at -Xmx100g and showed 40–131 s batch spikes from
+    * batch ~86 on — G1 at oversized heaps grows multi-GB young
+    * generations whose evacuation pauses land exactly like contention
+    * spikes; the identical soak at the repo-standard 16 GiB was flat
+    * (max 6.3 s over 431 batches, zero organic full GCs). PERF §48.
+    * Admission-gate latency contracts assume a BOUNDED heap: warn at
+    * startup when the JVM exceeds this documented bound. */
+  private[graft] val maxRecommendedHeapBytes: Long = 32L << 30
+
+  private[graft] def heapWarning(maxHeapBytes: Long): Option[String] =
+    if (maxHeapBytes <= maxRecommendedHeapBytes) None
+    else Some(f"max heap ${maxHeapBytes / (1L << 30)} GiB exceeds the " +
+      f"${maxRecommendedHeapBytes / (1L << 30)} GiB admission-workload bound: " +
+      "G1 young-gen evacuation pauses at oversized heaps land as " +
+      "multi-10-s batch spikes (PERF §48); run admission JVMs at ~16 GiB")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
@@ -45,7 +65,9 @@ object AdmissionSoak {
     val sfDir = args(0)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(100)
     val batchSize = args.lift(2).map(_.toLong).getOrElse(1000L)
-    val filesFactor = args.lift(3).map(_.toDouble).getOrElse(1.75)
+    val filesFactor = args.lift(3).map(_.toDouble).getOrElse(1.5)
+    heapWarning(Runtime.getRuntime.maxMemory())
+      .foreach(w => println(s"[soak][warn] $w"))
     val spark = graft.GraftSession.local("admission-soak")
     import spark.implicits._
 
@@ -71,8 +93,10 @@ object AdmissionSoak {
     val t0 = System.nanoTime()
     val baselineFiles = StreamingDedup.stageCorpusBands(spark,
       graft.operators.DedupOps.minhashSignaturesOf(docs), table)
+    val dial = StreamingDedup.compactionDial(table, baselineFiles, filesFactor)
     println(f"[soak] staged $table from $nDocs docs in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
-      s"($baselineFiles files; compaction at ${filesFactor}x)")
+      f"($baselineFiles files; floor-keyed compaction at ${filesFactor}x, " +
+      f"initial threshold ${dial.threshold}%.0f files)")
     def locationOf(name: String): java.io.File = new java.io.File(
       spark.sql(s"DESCRIBE TABLE EXTENDED $name")
         .where(col("col_name") === "Location").select("data_type")
@@ -137,19 +161,23 @@ object AdmissionSoak {
           f"admitted=$nAdm postings+=$appended table=${bytes / 1e6}%.1f MB/$files files")
       } else
         println(f"[soak] batch $b%3d wall=${latencies(b)}%.3f s matches=$nMatches admitted=$nAdm")
-      // COMPACTION through the engine dial (VERDICT r15 #6): each
-      // append adds one file per touched bucket (~64/batch), and the
-      // first soak run measured the probe latency creeping +35% over
-      // 100 batches as the file count grew 2048 → 5248 — per-file
-      // open/footer costs, not data volume (bytes grew 14%). The dial
-      // fires on the file-count trigger and rewrites in place; the
-      // latency recovery shows up in the per-batch series right after.
+      // COMPACTION through the engine dial (VERDICT r15 #6 / r16 #1):
+      // each append adds one file per touched bucket (~64/batch), and
+      // the first soak run measured the probe latency creeping +35%
+      // over 100 batches as the file count grew 2048 → 5248 — per-file
+      // open/footer costs, not data volume (bytes grew 14%). The
+      // FLOOR-KEYED dial fires on the file-count trigger and rewrites
+      // in place, then re-keys its threshold off the measured landing
+      // (the r16 soak's ~3,200-file post-compaction floor vs the
+      // 2,048-file staged baseline made the stateless dial fire every
+      // ~7 batches; floor-keyed cadence is (factor−1)×floor/64).
       val c0 = System.nanoTime()
-      if (StreamingDedup.compactAt(spark, curTable, baselineFiles, filesFactor)) {
+      if (dial.maybeCompact(spark)) {
         compactions += 1
         val (bytes, files) = tableFootprint(curTable)
         println(f"[soak] compaction $compactions after batch $b " +
-          f"${(System.nanoTime() - c0) / 1e9}%.2f s -> ${bytes / 1e6}%.1f MB/$files files")
+          f"${(System.nanoTime() - c0) / 1e9}%.2f s -> ${bytes / 1e6}%.1f MB/$files files " +
+          f"(floor ${dial.currentFloor}, next threshold ${dial.threshold}%.0f)")
       }
       spark.catalog.clearCache()
     }

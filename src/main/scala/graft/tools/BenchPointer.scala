@@ -8,12 +8,17 @@ package graft.tools
   *
   * Scans `bench/history/` for the newest `maxN` runs whose filename
   * carries `sfTag` and whose artifact is `"valid":true`, ranks them by
-  * the contention evidence the artifact itself records — primary key
-  * max(calib_start_sec, calib_end_sec) (the fixed pure-CPU probe: a
-  * per-machine constant on a quiet box, directly inflated by
-  * contention), tiebreak the boot 5-min load — and copies the winner
-  * to the pointer path, printing the ranking so the choice is
-  * auditable. Same-code discipline stays with the caller: run this
+  * the contention evidence the artifact itself records — warning tier
+  * first (a gate-warned run loses to any clean same-code run; a
+  * pre-warnings-field artifact ranks between clean and warned as
+  * UNKNOWN, logged — ADVICE r16), then max(calib_start_sec,
+  * calib_end_sec) (the fixed pure-CPU probe: a per-machine constant on
+  * a quiet box, directly inflated by contention), tiebreak the boot
+  * 5-min load — and writes the winner to the pointer path WITH a
+  * `pointer_source` stamp (source history filename + the rule that
+  * picked it, VERDICT r16 #2: the r16 10× pointer and the PERF prose
+  * silently diverged because the pointer didn't say which history run
+  * it carried). Same-code discipline stays with the caller: run this
   * right after the round's bench runs, before any source change, so
   * the newest-N window holds only same-commit runs.
   *
@@ -22,15 +27,29 @@ package graft.tools
   */
 object BenchPointer {
 
+  /** `warned`: Some(false) = artifact records an empty warnings map
+    * (clean); Some(true) = non-empty warnings (gate-demoted); None =
+    * the artifact predates the warnings field entirely — UNKNOWN, not
+    * warned (ADVICE r16: the old whitespace-stripped substring test
+    * silently classified every pre-2026-08-14 artifact as warned and
+    * permanently demoted it behind any newer run). */
   private[graft] final case class Run(path: java.nio.file.Path, name: String,
       valid: Boolean, calibMax: Double, load5Boot: Double, totalSec: Double,
-      warned: Boolean)
+      warned: Option[Boolean])
 
   private def field(json: String, key: String): Option[String] = {
     val m = ("\"" + java.util.regex.Pattern.quote(key) +
       "\":(\"[^\"]*\"|true|false|[-0-9.eE]+)").r.findFirstMatchIn(json)
     m.map(_.group(1).stripPrefix("\"").stripSuffix("\""))
   }
+
+  /** Warning classification from the FIRST `"warnings":` key (Bench
+    * writes exactly one, in guardJson, before the free-text errors
+    * map — first-match keeps a warning VALUE that happens to contain
+    * the literal from fooling the test, the other ADVICE-r16 hole). */
+  private[graft] def warnedOf(json: String): Option[Boolean] =
+    """"warnings"\s*:\s*(\{\s*\})?""".r.findFirstMatchIn(json)
+      .map(m => m.group(1) == null)
 
   private[graft] def parse(path: java.nio.file.Path, json: String): Option[Run] =
     for {
@@ -41,9 +60,7 @@ object BenchPointer {
     } yield Run(path, path.getFileName.toString, valid, math.max(cs, ce),
       field(json, "loadavg_boot").map(graft.Bench.load5)
         .getOrElse(Double.NaN), total,
-      // any gate warning (load5 tier etc.) demotes the run: the
-      // artifact ITSELF says "prefer a quieter same-code history run"
-      !json.replaceAll("\\s", "").contains("\"warnings\":{}"))
+      warnedOf(json))
 
   /** Exact-suffix tag match: history files are `bench_<ts>_<tag>.json`,
     * and a substring test lets `scale10` swallow `scale100` runs — the
@@ -51,18 +68,44 @@ object BenchPointer {
   private[graft] def matchesTag(name: String, sfTag: String): Boolean =
     name.startsWith("bench_") && name.endsWith("_" + sfTag + ".json")
 
+  /** Rank of the warning tier: clean < unknown < warned. A run whose
+    * own gate attached a contention warning must lose to any clean
+    * run, whatever their calib probes say (the r16 first 10× refresh
+    * picked a load5-warned 97.3 s run over a clean 82.1 s one on a
+    * 0.03 calib edge); an artifact too old to SAY ranks between —
+    * its silence is not evidence of contention. */
+  private[graft] def warnRank(warned: Option[Boolean]): Int = warned match {
+    case Some(false) => 0
+    case None        => 1
+    case Some(true)  => 2
+  }
+
   /** The quietest valid run among `runs` (newest-N window already
-    * applied by the caller): unwarned before warned — a run whose own
-    * gate attached a contention warning must lose to any clean run,
-    * whatever their calib probes say (the r16 first 10× refresh picked
-    * a load5-warned 97.3 s run over a clean 82.1 s one on a 0.03 calib
-    * edge) — then lowest calibMax, tiebreak lowest boot 5-min load
-    * (NaN sorts last). */
+    * applied by the caller): [[warnRank]], then lowest calibMax,
+    * tiebreak lowest boot 5-min load (NaN sorts last). */
   private[graft] def pick(runs: Seq[Run]): Option[Run] =
     runs.filter(_.valid).sortBy(r =>
-      (r.warned, r.calibMax,
+      (warnRank(r.warned), r.calibMax,
         if (r.load5Boot.isNaN) Double.MaxValue else r.load5Boot))
       .headOption
+
+  private[graft] val rule: String =
+    "quietest-valid-of-newest-N: unwarned-first (unknown between), " +
+      "then min max(calib_start,calib_end), then min boot load5"
+
+  /** The pointer file's contents: the winning history artifact with a
+    * leading `pointer_source` stamp, so pointer, history, and prose
+    * can never silently diverge (VERDICT r16 #2). The stamp is
+    * injected after the artifact's opening brace; everything else is
+    * byte-identical to the history file. */
+  private[graft] def pointerJson(winnerJson: String, winnerName: String,
+                                 maxN: Int): String = {
+    val body = winnerJson.trim
+    require(body.startsWith("{"), "history artifact must be a JSON object")
+    val stamp = s""""pointer_source":{"source_history_file":"$winnerName",""" +
+      s""""rule":"$rule","window":$maxN},"""
+    "{" + stamp + body.drop(1)
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: BenchPointer <pointerPath> <sfTag> [maxN]")
@@ -79,7 +122,8 @@ object BenchPointer {
           java.nio.charset.StandardCharsets.UTF_8))
       }.toSeq
     candidates.foreach { r =>
-      println(f"[pointer] candidate ${r.name} valid=${r.valid} warned=${r.warned} " +
+      val w = r.warned.map(_.toString).getOrElse("UNKNOWN (no warnings field)")
+      println(f"[pointer] candidate ${r.name} valid=${r.valid} warned=$w " +
         f"calibMax=${r.calibMax}%.3f load5Boot=${r.load5Boot}%.2f total=${r.totalSec}%.1f s")
     }
     pick(candidates) match {
@@ -87,10 +131,13 @@ object BenchPointer {
         System.err.println(s"[pointer] no valid history run matches _$sfTag in the newest $maxN")
         sys.exit(1)
       case Some(win) =>
-        java.nio.file.Files.copy(win.path, pointer,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val json = pointerJson(new String(
+          java.nio.file.Files.readAllBytes(win.path),
+          java.nio.charset.StandardCharsets.UTF_8), win.name, maxN)
+        java.nio.file.Files.write(pointer,
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         println(f"[pointer] $pointer <- ${win.name} " +
-          f"(calibMax=${win.calibMax}%.3f, total=${win.totalSec}%.1f s)")
+          f"(calibMax=${win.calibMax}%.3f, total=${win.totalSec}%.1f s, source stamped)")
     }
   }
 }

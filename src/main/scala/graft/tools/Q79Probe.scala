@@ -6,14 +6,19 @@ import graft.operators.DedupOps
   * generation, and the full prefix-Jaccard pipeline, each timed 3×
   * in one JVM (run-to-run deltas within a run are JIT/page-cache
   * warm-up — compare matching run indices across code versions).
-  * Usage: runMain graft.tools.Q79Probe [sfDir] [stagingRoot] [modes|natural];
+  * Usage: runMain graft.tools.Q79Probe [sfDir] [stagingRoot] [modes|natural] [k];
   * pass an existing staging root so repeated probes don't re-stage; a
   * third arg `modes` skips the stage-attribution rows and runs only
   * the end-to-end mode A/B (carried/broadcast/pair + past-ceiling);
   * `natural` runs ONLY the shipped entry point with zero overrides —
   * the VERDICT r15 #4 instrument: on a >2M-doc corpus the auto
   * dispatch must choose `carried` by itself (the choice is logged by
-  * candidatesDispatch). */
+  * candidatesDispatch). On a MakeScaleData replica corpus, pass the
+  * replication factor `k` after `natural` and the probe ASSERTS the
+  * pair count is exactly 256·k in-run (VERDICT r16 #3: replica shards
+  * never cross-match by construction — the base sf0.1 corpus yields
+  * 256 prefix-Jaccard pairs, so any other count means a broken
+  * dispatch or a broken corpus, previously checked by hand). */
 object Q79Probe {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -21,6 +26,7 @@ object Q79Probe {
       java.nio.file.Files.createTempDirectory("probe_q79").toString)
     val modesOnly = args.lift(2).contains("modes")
     val naturalOnly = args.lift(2).contains("natural")
+    val expectK = args.lift(3).map(_.toInt)
     val spark = graft.GraftSession.local("q79-probe")
     graft.SparkEntry.entry(spark).count() // warm-up
     DedupOps.withStagingRoot(Some(root)) {
@@ -31,8 +37,14 @@ object Q79Probe {
         spark.catalog.clearCache()
       }
       if (naturalOnly) {
-        t("q79 full [natural]")(
-          graft.SparkEntry.queries("q79_prefix_jaccard")(spark, sf).count())
+        t("q79 full [natural]") {
+          val n = graft.SparkEntry.queries("q79_prefix_jaccard")(spark, sf).count()
+          expectK.foreach { k =>
+            require(n == 256L * k,
+              s"pair-count tripwire FAILED: expected ${256L * k} (256*$k), got $n")
+          }
+          s"$n pairs" + expectK.map(k => s" == 256*$k OK").getOrElse("")
+        }
         spark.stop(); return
       }
       if (modesOnly) { modeAb(spark, sf, t); spark.stop(); return }

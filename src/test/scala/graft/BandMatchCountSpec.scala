@@ -79,6 +79,28 @@ class BandMatchCountSpec extends SparkSpec {
       .collect().head == 3)
   }
 
+  test("intended divergence from the old lambda form on malformed inputs (ADVICE r16)") {
+    // the old aggregate(zip_with(...)) returns a NON-NULL count on a
+    // length mismatch or a null element (zip_with pads with nulls and
+    // if(null,1,0) contributes 0); the native expression returns null.
+    // Unreachable at every call site — signatures are fixed-length
+    // arrays of non-null BIGINTs by construction — and the consumer's
+    // threshold filter drops the row in both worlds; this pins the
+    // divergence so the scaladoc claim stays honest.
+    val mismatch = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+    val oldM = mismatch.select(expr(lambdaMatches)).collect()(0)
+    assert(!oldM.isNullAt(0) && oldM.getInt(0) == 2, "old form: non-null count")
+    assert(mismatch.select(BandMatchCount.band_match_count($"a", $"b", 0))
+      .collect()(0).isNullAt(0), "native form: null")
+    val nullElem = spark.sql(
+      "SELECT CAST(array(1, NULL) AS ARRAY<BIGINT>) a, " +
+        "CAST(array(1, 2) AS ARRAY<BIGINT>) b")
+    val oldN = nullElem.select(expr(lambdaMatches)).collect()(0)
+    assert(!oldN.isNullAt(0) && oldN.getInt(0) == 1, "old form: non-null count")
+    assert(nullElem.select(BandMatchCount.band_match_count($"a", $"b", 0))
+      .collect()(0).isNullAt(0), "native form: null")
+  }
+
   test("interpreted eval matches codegen") {
     val a = Array(5L, 5L, 7L, 8L, 1L, 2L, 3L, 4L)
     val b = Array(5L, 5L, 9L, 9L, 1L, 2L, 9L, 4L)

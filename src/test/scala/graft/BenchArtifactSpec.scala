@@ -120,8 +120,62 @@ class BenchArtifactSpec extends AnyFunSuite {
       art(valid = true, 0.05, 0.05, 8.0, 170.0,
         warnings = """{"load5":"loadavg5_start 7.97 > 4.00"}"""))
     val clean = run("bench_20260814T0007_x.json", art(valid = true, 0.12, 0.12, 0.8, 182.0))
-    assert(warned.warned && !clean.warned)
+    assert(warned.warned.contains(true) && clean.warned.contains(false))
     assert(BenchPointer.pick(Seq(warned, clean)).get.name == clean.name)
+  }
+
+  test("BenchPointer: missing warnings field is UNKNOWN — after clean, before warned (ADVICE r16)") {
+    import graft.tools.BenchPointer
+    // pre-2026-08-14 artifact shape: no warnings key at all
+    val legacy = """{"metric":"total","value":170.0,"valid":true,""" +
+      """"calib_start_sec":0.05,"calib_end_sec":0.05,""" +
+      """"loadavg_boot":"1.00 0.50 1.00 1/1 1"}"""
+    assert(BenchPointer.warnedOf(legacy).isEmpty)
+    assert(BenchPointer.warnedOf("""x "warnings":{} y""").contains(false))
+    assert(BenchPointer.warnedOf("""x "warnings":{"k":"v"} y""").contains(true))
+    // a warning VALUE containing the empty-map literal must not flip
+    // the classification (the old stripped-substring hole)
+    assert(BenchPointer.warnedOf(
+      """"warnings":{"k":"artifact had \"warnings\":{} missing"}""").contains(true))
+    assert(BenchPointer.warnRank(Some(false)) < BenchPointer.warnRank(None))
+    assert(BenchPointer.warnRank(None) < BenchPointer.warnRank(Some(true)))
+    // legacy run beats a warned run but loses to a clean one, even on calib
+    val dir = java.nio.file.Files.createTempDirectory("ptr2")
+    def run(name: String, json: String) = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+      BenchPointer.parse(p, json).get
+    }
+    val legacyRun = run("bench_20260813T0001_x.json", legacy)
+    val cleanRun = run("bench_20260814T0002_x.json",
+      """{"value":182.0,"valid":true,"calib_start_sec":0.20,"calib_end_sec":0.20,""" +
+        """"warnings":{},"loadavg_boot":"1.00 0.80 1.00 1/1 1"}""")
+    val warnedRun = run("bench_20260814T0003_x.json",
+      """{"value":160.0,"valid":true,"calib_start_sec":0.01,"calib_end_sec":0.01,""" +
+        """"warnings":{"load5":"x"},"loadavg_boot":"1.00 8.00 1.00 1/1 1"}""")
+    assert(BenchPointer.pick(Seq(legacyRun, warnedRun)).get.name == legacyRun.name)
+    assert(BenchPointer.pick(Seq(legacyRun, cleanRun)).get.name == cleanRun.name)
+  }
+
+  test("BenchPointer stamps its source history file into the pointer (VERDICT r16 #2)") {
+    import graft.tools.BenchPointer
+    val hist = """{"metric":"total","value":82.1,"valid":true,"warnings":{}}"""
+    val ptr = BenchPointer.pointerJson(hist, "bench_20260815T0824_scale10.json", 4)
+    assert(ptr.startsWith(
+      """{"pointer_source":{"source_history_file":"bench_20260815T0824_scale10.json","""))
+    assert(ptr.contains(""""rule":"""") && ptr.contains(""""window":4"""))
+    // the artifact body is preserved byte-for-byte after the stamp
+    assert(ptr.endsWith(hist.drop(1)))
+    // and the stamped pointer still parses as a valid run record
+    val p = java.nio.file.Files.createTempDirectory("ptr3")
+      .resolve("bench_x_scale10.json")
+    val full = """{"metric":"total","value":82.1,"valid":true,""" +
+      """"calib_start_sec":0.1,"calib_end_sec":0.1,"warnings":{}}"""
+    java.nio.file.Files.write(p,
+      BenchPointer.pointerJson(full, "src.json", 4).getBytes("UTF-8"))
+    val parsed = BenchPointer.parse(p, new String(
+      java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    assert(parsed.exists(r => r.valid && r.totalSec == 82.1))
   }
 
   test("BenchPointer tag match is exact-suffix, not substring") {

@@ -367,4 +367,27 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q17: array_remove stop count is bit-parity with the old filter lambda (r17 sweep)") {
+    // the rewrite (PERF §50): size(toks) - size(array_remove(...)) in
+    // codegen'd collection expressions replaces the interpreted
+    // filter(toks, x -> ...) HOF; same count on the whole corpus plus
+    // the separator edge cases ('the'/'a' as empty-token neighbors)
+    val corpus = Tables.documents(spark, sf).select("text")
+      .unionByName(Seq("the a the", "", " the  a ", "thea a the x")
+        .toDF("text"))
+    val rows = corpus
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        expr("size(toks) - size(array_remove(array_remove(toks, 'the'), 'a'))").as("nw"),
+        expr("size(filter(toks, x -> x = 'the' OR x = 'a'))").as("old"))
+      .collect()
+    assert(rows.nonEmpty && rows.exists(_.getInt(1) > 0))
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // and the shipped q17 carries no fallback expression anymore
+    val stats = TextOps.textStats(spark, sf)
+    stats.count()
+    assert(graft.tools.CodegenSweep.fallbackHits(
+      stats.queryExecution.executedPlan).isEmpty)
+  }
 }

@@ -34,6 +34,39 @@ class StreamingDedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"narrow signature shuffled:\n$plan")
   }
 
+  test("null text yields a null signature and is dropped (intentional post-§47 contract, ADVICE r16)") {
+    // the pre-§47 case-when form let a null-text row flow on with an
+    // all-NULL signature array; the native MinHashSig propagates the
+    // null so withSignature drops the row with the other unsignables —
+    // a null document cannot near-duplicate anything
+    val rows = Seq((1L, null: String), (2L, "two tokens here"))
+      .toDF("doc_id", "text")
+    val all = StreamingDedup.withSignatureAll(rows)
+    assert(all.where(col("doc_id") === 1L).select("__sig")
+      .collect()(0).isNullAt(0), "null text must carry a null __sig")
+    assert(StreamingDedup.withSignature(rows)
+      .select("doc_id").as[Long].collect().toSet == Set(2L),
+      "null-text row must be dropped by withSignature")
+  }
+
+  test("floor-keyed dial re-keys its threshold off the measured post-compaction floor (VERDICT r16 #1)") {
+    // injected counts replaying the r16 soak's geometry (PERF §48):
+    // staged baseline 2,048 files, post-compaction floor ~3,200
+    val dial = StreamingDedup.compactionDial("t", 2048, filesFactor = 2.5)
+    assert(dial.currentFloor == 2048 && dial.threshold == 5120.0)
+    assert(!dial.shouldFire(5120) && dial.shouldFire(5121))
+    dial.rekey(3200)
+    assert(dial.currentFloor == 3200 && dial.threshold == 8000.0)
+    // the stateless dial keeps firing at 5,121 forever from here —
+    // only (2.5×2048 − 3200) = 1,920 files of real headroom; the
+    // floor-keyed threshold restores (factor−1) × actual-floor
+    assert(!dial.shouldFire(5121))
+    assert(dial.shouldFire(8001))
+    // a freak low landing never drags the floor under the baseline
+    dial.rekey(100)
+    assert(dial.currentFloor == 2048)
+  }
+
   test("stream-static admission flags near-dups in flight, passes novel docs silently") {
     // static corpus: two docs
     val corpus = Seq(
@@ -172,10 +205,43 @@ class StreamingDedupSpec extends SparkSpec {
       } finally spark.conf.set(key, prev)
       // below threshold now -> no-op
       assert(!StreamingDedup.compactAt(spark, table, baseline, 1000.0, buckets = 8))
+      // FLOOR-KEYED dial end-to-end on the same table (VERDICT r16 #1):
+      // regrow it, fire through maybeCompact, observe the re-key to the
+      // measured landing, and the very next check is a no-op
+      (3 to 4).foreach { i =>
+        val extraSig = DedupOps.minhashSignaturesOf(
+          docs.where(expr(s"doc_id % 10 = $i"))
+            .select((col("doc_id") + lit(1000000L * i)).as("doc_id"), col("text")))
+        extraSig.select(col("doc_id").as("corpus_id"),
+            array((0 until p.numHashes).map(j => col(s"mh$j")): _*).as("__sig"))
+          .withColumn("cbk", explode(expr(DedupOps.bandArrayExpr(p))))
+          .select(col("cbk"), col("corpus_id"), col("__sig").as("__csig"))
+          .write.mode("append").bucketBy(8, "cbk").sortBy("cbk")
+          .format("parquet").saveAsTable(table)
+      }
+      val regrown = StreamingDedup.postingFileCount(spark, table)
+      val beforeDial = pairs() // appends 3-4 may add legitimate matches
+      val dial = StreamingDedup.compactionDial(table, baseline,
+        math.max(1.0, regrown.toDouble / baseline * 0.9), buckets = 8)
+      assert(dial.currentFloor == baseline, "dial starts keyed to the staged baseline")
+      assert(dial.maybeCompact(spark), "dial must fire on the regrown table")
+      val landed = StreamingDedup.postingFileCount(spark, table)
+      assert(dial.currentFloor == math.max(baseline, landed),
+        s"dial must re-key to the measured landing ($landed), got ${dial.currentFloor}")
+      assert(!dial.maybeCompact(spark), "freshly compacted table must not re-fire")
+      assert(pairs() == beforeDial, "floor-keyed compaction must preserve match parity")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(s"DROP TABLE IF EXISTS ${table}__compacting")
     }
+  }
+
+  test("admission heap guard warns only above the documented bound (VERDICT r16 #6)") {
+    import graft.tools.AdmissionSoak.{heapWarning, maxRecommendedHeapBytes}
+    assert(heapWarning(16L << 30).isEmpty, "repo-standard 16 GiB is the flat profile")
+    assert(heapWarning(maxRecommendedHeapBytes).isEmpty, "bound itself is inclusive")
+    val w = heapWarning(100L << 30)
+    assert(w.exists(_.contains("100 GiB")), s"oversized heap must warn: $w")
   }
 
   test("admission agrees with the batch incremental verdicts at est level") {
