@@ -15,11 +15,13 @@ import org.apache.spark.sql.SparkSession
   *
   * The rewrite preserves the bucketed layout (one bucketBy/sortBy pass
   * over the table — the same shape as the original staging write, cost
-  * amortized over the ~N batches between triggers), swaps atomically
-  * at the catalog level (write to a side table, drop the original,
-  * rename into place) and keeps the caller's table NAME stable, so a
-  * long-running admission loop never re-resolves anything. */
-private[streaming] object PostingCompaction {
+  * amortized over the ~N batches between triggers), lands at
+  * ≤ `buckets` files (see [[rewrite]]'s landing-geometry note), swaps
+  * in via rename-out/rename-in (NOT atomic — no catalog offers a
+  * two-table atomic swap; every crash window leaves a recoverable
+  * table, see [[rewrite]]) and keeps the caller's table NAME stable,
+  * so a long-running admission loop never re-resolves anything. */
+private[graft] object PostingCompaction {
 
   private def location(spark: SparkSession, table: String): java.io.File = {
     val uri = spark.sessionState.catalog
@@ -34,24 +36,56 @@ private[streaming] object PostingCompaction {
       .count(_.getName.startsWith("part-"))
 
   /** The compaction rewrite itself, unconditionally: one bucketed
-    * pass over `table`, swapped atomically at the catalog level. */
+    * pass over `table`, landing at ≤ `buckets` files, swapped in via
+    * a rename-out/rename-in sequence whose every crash window leaves
+    * a recoverable table.
+    *
+    * LANDING GEOMETRY (VERDICT r17 #1, PERF §49): the pre-r18 form —
+    * `spark.table(t).repartition(buckets, col)` into the bucketed
+    * write — landed ~(input files / 32) × buckets and GREW ~1.32× per
+    * cycle in the r17 soak (2,572 → 13,783 files while bytes grew
+    * 26%). Root cause, read off the executed plan (CompactionProbe):
+    * EnsureRequirements elides the user repartition because the
+    * bucketed scan claims HashPartitioning(col, buckets) — and THEN
+    * the DisableUnnecessaryBucketedScan preparation rule, seeing no
+    * operator above the scan that still *requires* that distribution,
+    * reverts the scan to split-based (~input-files/32 partitions), so
+    * every split task writes one file per bucket it holds. Fix: pin
+    * the bucketed scan for the rewrite (autoBucketedScan=false around
+    * the read) — one partition per bucket, ZERO exchange, one writer
+    * per bucket. Probe A/B at 8 buckets / 8,552 input files: old form
+    * 2,106 files in 8.4 s; pinned scan 8 files in 3.9 s; a path-based
+    * read that keeps the repartition also lands 8 but pays the
+    * shuffle (5.6 s). The repartition stays as a belt-and-braces
+    * bound (it self-elides against the pinned bucketed scan).
+    *
+    * SWAP (VERDICT r17 #2): there is no atomic two-table swap in the
+    * catalog, so the sequence is rename-out / rename-in / drop-old:
+    * a crash before the rename-out leaves the live table untouched
+    * (plus a stale side table this method cleans up on entry); a
+    * crash between the renames leaves BOTH `table__old` (the
+    * pre-compaction data) and `table__compacting` (the compacted
+    * data), either of which recovers by a single RENAME; a crash
+    * after the rename-in leaves the live table compacted plus a
+    * stale `table__old`, also cleaned up on entry. */
   def rewrite(spark: SparkSession, table: String, buckets: Int,
               bucketCol: String): Unit = {
     val side = table + "__compacting"
+    val old = table + "__old"
     spark.sql(s"DROP TABLE IF EXISTS $side"): Unit
-    // repartition to `buckets` partitions on the bucket column
-    // before the bucketed write: bounds the output at
-    // (writer tasks × buckets-per-task) files — measured 72 → 16 at
-    // 8 buckets on the probe — where an un-repartitioned rewrite
-    // keeps the input's task count and can leave the file count
-    // where it started
-    spark.table(table)
+    spark.sql(s"DROP TABLE IF EXISTS $old"): Unit
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try spark.table(table)
       .repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
       .write.mode("overwrite")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(side)
-    spark.sql(s"DROP TABLE $table"): Unit
+    finally spark.conf.set(autoKey, prevAuto)
+    spark.sql(s"ALTER TABLE $table RENAME TO $old"): Unit
     spark.sql(s"ALTER TABLE $side RENAME TO $table"): Unit
+    spark.sql(s"DROP TABLE $old"): Unit
   }
 
   /** Rewrite `table` (bucketed on `bucketCol` into `buckets`) when its
@@ -59,16 +93,17 @@ private[streaming] object PostingCompaction {
     * table's own file count, captured at stage time. Returns whether a
     * compaction ran.
     *
-    * GEOMETRY TRAP (PERF §48, VERDICT r16 #1): the post-compaction
-    * file count can sit well ABOVE the staged baseline (bucket layout
-    * × writer tasks — the r16 soak measured a ~3,200-file floor over
-    * a 2,048-file staged baseline), so a factor over the STAGED count
-    * silently shrinks the effective headroom and fires far more often
-    * than `filesFactor` suggests (every ~7 batches instead of ~20 in
-    * the r16 soak). Long-running admission loops should use
-    * [[CompactionDial]], which measures the floor after its first
-    * compaction and re-keys the threshold off it; this stateless form
-    * remains for one-shot callers that compact at most once. */
+    * GEOMETRY NOTE (PERF §48/§49): with the pinned-bucketed-scan
+    * rewrite the landing is ≤ `buckets` files — far BELOW any staged
+    * baseline (the staged write runs at the session's task width, ~32
+    * tasks × buckets files) — so a factor over the staged count gives
+    * generous headroom. The r16/r17 soaks' inflated landings (~3,200,
+    * then 2,572→13,783 files) were the DEFECTIVE rewrite's geometry
+    * (repartition elided + bucketed scan reverted, PERF §49), not an
+    * inherent floor. Long-running admission loops should still use
+    * [[CompactionDial]], which re-keys off measured landings and
+    * refuses pathological ones; this stateless form remains for
+    * one-shot callers that compact at most once. */
   def compactAt(spark: SparkSession, table: String, baselineFiles: Int,
                 filesFactor: Double, buckets: Int,
                 bucketCol: String): Boolean = {
@@ -83,27 +118,23 @@ private[streaming] object PostingCompaction {
   }
 }
 
-/** FLOOR-KEYED compaction dial (VERDICT r16 #1) — the stateful form a
-  * long-running admission loop should hold, one per posting table.
+/** FLOOR-KEYED compaction dial (VERDICT r16 #1, guarded per VERDICT
+  * r17 #1) — the stateful form a long-running admission loop should
+  * hold, one per posting table.
   *
-  * The r16 soak's own geometry finding (PERF §48): a bucketed rewrite
-  * cannot land below ~(writer tasks visited × buckets touched) files,
-  * and that POST-COMPACTION FLOOR sits well above the staged baseline
-  * (3,2xx measured vs 2,048 staged on the 100× corpus). A threshold of
-  * `filesFactor` × staged-baseline therefore leaves only
-  * (factor × staged − floor) files of real headroom — 384 files ≈ one
-  * firing every ~7 batches in the soak, paying a full-table rewrite
-  * each time for a table that was near its floor already.
-  *
-  * This dial starts from the staged baseline (the only number known
+  * The dial starts from the staged baseline (the only number known
   * before any compaction), and after EVERY compaction re-keys its
-  * threshold off the measured post-compaction count: the headroom
-  * becomes (filesFactor − 1) × actual-floor regardless of layout
-  * geometry, so `filesFactor = 2` genuinely means "compact when the
-  * table carries twice its compacted self". The floor tracks the
-  * latest measurement (never below the staged baseline): as the
-  * corpus absorbs documents and its genuine floor grows, the
-  * threshold grows with it instead of strangling headroom.
+  * threshold off the measured post-compaction count — clamped at the
+  * staged baseline from below, and guarded from above by [[rekey]]'s
+  * effectiveness check: a landing above half the firing threshold is
+  * a compaction that failed to shrink the table (the r17 ratchet,
+  * PERF §49) and is REJECTED rather than adopted as the new floor.
+  * With the fixed rewrite a healthy landing is ≤ buckets files, so in
+  * practice the floor stays at the staged baseline and `filesFactor`
+  * means what it says against the staged layout; the re-key exists so
+  * a table whose genuine compacted size ever exceeds the baseline
+  * still gets (factor − 1) × actual-floor of headroom instead of a
+  * strangled cadence.
   *
   * Not thread-safe — one admission loop owns one dial, the same way
   * it owns the table. */
@@ -128,9 +159,33 @@ final class CompactionDial private[streaming] (
   /** Re-key the floor from a measured post-compaction file count —
     * latest measurement wins, clamped at the staged baseline so a
     * freak low landing can't make the dial fire on a near-compact
-    * table. */
+    * table.
+    *
+    * EFFECTIVENESS GUARD (VERDICT r17 #1b): an unguarded
+    * "latest measurement wins" locked in the r17 soak's pathological
+    * landings (2,572 → 13,783 files) as successive floors, ratcheting
+    * the threshold 4,115 → 22,053 — a compaction that BARELY shrinks
+    * the table must be surfaced as a defect, not adopted as the new
+    * normal. A landing above half the firing threshold is rejected:
+    * the floor (and so the threshold) stays put, the dial keeps
+    * firing at the old cadence, and the rejection is visible to the
+    * caller via [[rejectedLandings]] and a warning line. A healthy
+    * rewrite lands at ≤ buckets files — orders of magnitude under any
+    * threshold — so the guard never fires on a working layout. */
   private[graft] def rekey(postCompactionFiles: Int): Unit =
-    floorFiles = math.max(stagedBaseline, postCompactionFiles)
+    if (postCompactionFiles > threshold / 2) {
+      rejectedCount += 1
+      println(f"[compaction-dial][warn] $table: rejected landing of " +
+        f"$postCompactionFiles files (> half the ${threshold}%.0f-file " +
+        "firing threshold) — compaction is not shrinking the table; " +
+        "floor stays at " + floorFiles)
+    } else floorFiles = math.max(stagedBaseline, postCompactionFiles)
+
+  private var rejectedCount: Int = 0
+
+  /** Landings [[rekey]] refused to adopt — nonzero means compaction
+    * is not actually shrinking the table (a layout/plan defect). */
+  def rejectedLandings: Int = rejectedCount
 
   /** Compact when the table's file count exceeds [[threshold]]; on a
     * compaction, measure the landing and [[rekey]]. Returns whether a

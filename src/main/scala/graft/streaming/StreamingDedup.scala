@@ -171,15 +171,17 @@ object StreamingDedup {
       buckets, "cbk")
 
   /** FLOOR-KEYED compaction dial for a band posting table — the form
-    * a long-running admission loop should hold (VERDICT r16 #1). The
-    * stateless [[compactAt]] keys its threshold off the STAGED file
-    * count forever, but a bucketed rewrite lands at a geometric floor
-    * well above it (r16 soak: ~3,200 files over a 2,048 baseline —
-    * bucket count × writer tasks), silently turning a 1.75× dial into
-    * a fire-every-7-batches dial. The [[CompactionDial]] re-keys off
-    * the measured post-compaction count after every firing, so
-    * `filesFactor` means what it says against the table's actual
-    * compacted self. See PERF §48/§49.
+    * a long-running admission loop should hold (VERDICT r16 #1,
+    * r17 #1). The stateless [[compactAt]] keys its threshold off the
+    * STAGED file count forever; the [[CompactionDial]] re-keys off
+    * the measured post-compaction landing after every firing (so the
+    * factor means what it says against the table's actual compacted
+    * self even if that ever drifts above the baseline) and REJECTS a
+    * landing above half the firing threshold — the r17 soak's
+    * ratchet, where a defective rewrite's inflated landings were
+    * adopted as successive floors. With the fixed rewrite a landing
+    * is ≤ buckets files (one writer per bucket, zero exchange). See
+    * PERF §48/§49.
     *
     * Heap sizing note for admission workloads (PERF §48): run the
     * admission JVM at a BOUNDED heap (the repo-standard 16 GiB stays

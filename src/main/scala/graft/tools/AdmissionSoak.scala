@@ -168,9 +168,9 @@ object AdmissionSoak {
       // open/footer costs, not data volume (bytes grew 14%). The
       // FLOOR-KEYED dial fires on the file-count trigger and rewrites
       // in place, then re-keys its threshold off the measured landing
-      // (the r16 soak's ~3,200-file post-compaction floor vs the
-      // 2,048-file staged baseline made the stateless dial fire every
-      // ~7 batches; floor-keyed cadence is (factor−1)×floor/64).
+      // (rejecting a landing above half the threshold — the r17
+      // ratchet guard, PERF §49). A healthy rewrite lands ≤ buckets
+      // files, so cadence is ~(factor−1)×staged-baseline/64 batches.
       val c0 = System.nanoTime()
       if (dial.maybeCompact(spark)) {
         compactions += 1

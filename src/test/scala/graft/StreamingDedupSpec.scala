@@ -52,19 +52,40 @@ class StreamingDedupSpec extends SparkSpec {
   test("floor-keyed dial re-keys its threshold off the measured post-compaction floor (VERDICT r16 #1)") {
     // injected counts replaying the r16 soak's geometry (PERF §48):
     // staged baseline 2,048 files, post-compaction floor ~3,200
-    val dial = StreamingDedup.compactionDial("t", 2048, filesFactor = 2.5)
-    assert(dial.currentFloor == 2048 && dial.threshold == 5120.0)
-    assert(!dial.shouldFire(5120) && dial.shouldFire(5121))
+    val dial = StreamingDedup.compactionDial("t", 2048, filesFactor = 4.0)
+    assert(dial.currentFloor == 2048 && dial.threshold == 8192.0)
+    assert(!dial.shouldFire(8192) && dial.shouldFire(8193))
     dial.rekey(3200)
-    assert(dial.currentFloor == 3200 && dial.threshold == 8000.0)
-    // the stateless dial keeps firing at 5,121 forever from here —
-    // only (2.5×2048 − 3200) = 1,920 files of real headroom; the
-    // floor-keyed threshold restores (factor−1) × actual-floor
-    assert(!dial.shouldFire(5121))
-    assert(dial.shouldFire(8001))
+    assert(dial.currentFloor == 3200 && dial.threshold == 12800.0)
+    // the stateless dial keeps firing at 8,193 forever from here;
+    // the floor-keyed threshold restores (factor−1) × actual-floor
+    assert(!dial.shouldFire(8193))
+    assert(dial.shouldFire(12801))
     // a freak low landing never drags the floor under the baseline
     dial.rekey(100)
     assert(dial.currentFloor == 2048)
+    assert(dial.rejectedLandings == 0, "healthy landings are never rejected")
+  }
+
+  test("rekey guard rejects a landing above half the firing threshold (VERDICT r17 #1)") {
+    // injected counts replaying the r17 soak's ratchet: the defective
+    // rewrite landed 2,572 files over a 2,048 baseline (factor 2.0 →
+    // threshold 4,096) and "latest measurement wins" adopted it —
+    // compounding 1.32× per cycle to 13,783 files. The guard refuses
+    // any landing that exceeds half the threshold: the floor stays
+    // put, the rejection is counted, and the dial keeps firing at the
+    // unratcheted cadence.
+    val dial = StreamingDedup.compactionDial("t", 2048, filesFactor = 2.0)
+    assert(dial.threshold == 4096.0 && dial.rejectedLandings == 0)
+    dial.rekey(2572)
+    assert(dial.currentFloor == 2048,
+      "a pathological landing must not ratchet the floor")
+    assert(dial.threshold == 4096.0)
+    assert(dial.rejectedLandings == 1)
+    // a healthy post-fix landing (≤ buckets files) is adopted, clamped
+    // at the staged baseline
+    dial.rekey(64)
+    assert(dial.currentFloor == 2048 && dial.rejectedLandings == 1)
   }
 
   test("stream-static admission flags near-dups in flight, passes novel docs silently") {
@@ -188,8 +209,17 @@ class StreamingDedupSpec extends SparkSpec {
       val factor = math.max(1.0, grown.toDouble / baseline * 0.9)
       assert(StreamingDedup.compactAt(spark, table, baseline, factor, buckets = 8),
         s"dial must fire at $grown files vs baseline $baseline, factor $factor")
-      assert(StreamingDedup.postingFileCount(spark, table) < grown,
-        "compaction must reduce the file count")
+      // LANDING BOUND (VERDICT r17 #1): the pinned-bucketed-scan
+      // rewrite writes one file per bucket — the r17 defect (landing
+      // ∝ input file count via the elided repartition + reverted
+      // bucketed scan) landed ~0.25 × input here and grew per cycle
+      val landedStateless = StreamingDedup.postingFileCount(spark, table)
+      assert(landedStateless <= 8,
+        s"rewrite must land at <= buckets files, got $landedStateless")
+      // the swap leaves no side/old tables behind
+      assert(!spark.catalog.tableExists(s"${table}__compacting") &&
+        !spark.catalog.tableExists(s"${table}__old"),
+        "rewrite must clean up its swap tables")
       assert(pairs() == before, "compaction must preserve match parity")
       // bucketed layout survives the rewrite: corpus side still reads
       // its buckets in place under forced sort-merge
@@ -226,13 +256,17 @@ class StreamingDedupSpec extends SparkSpec {
       assert(dial.currentFloor == baseline, "dial starts keyed to the staged baseline")
       assert(dial.maybeCompact(spark), "dial must fire on the regrown table")
       val landed = StreamingDedup.postingFileCount(spark, table)
+      assert(landed <= 8, s"dial rewrite must land at <= buckets files, got $landed")
       assert(dial.currentFloor == math.max(baseline, landed),
         s"dial must re-key to the measured landing ($landed), got ${dial.currentFloor}")
+      assert(dial.rejectedLandings == 0,
+        "a healthy landing must be adopted, not rejected")
       assert(!dial.maybeCompact(spark), "freshly compacted table must not re-fire")
       assert(pairs() == beforeDial, "floor-keyed compaction must preserve match parity")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(s"DROP TABLE IF EXISTS ${table}__compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__old")
     }
   }
 

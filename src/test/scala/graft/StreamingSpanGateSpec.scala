@@ -89,12 +89,15 @@ class StreamingSpanGateSpec extends SparkSpec {
       val before = verdicts()
       val factor = math.max(1.0, grown.toDouble / baseline * 0.9)
       assert(StreamingSpanGate.compactAt(spark, table, baseline, factor, buckets = 8))
-      assert(graft.streaming.StreamingDedup.postingFileCount(spark, table) < grown)
+      val landed = graft.streaming.StreamingDedup.postingFileCount(spark, table)
+      // landing bound (VERDICT r17 #1): one file per bucket
+      assert(landed <= 8, s"rewrite must land at <= buckets files, got $landed")
       assert(verdicts() == before, "compaction must preserve gate verdicts")
       assert(!StreamingSpanGate.compactAt(spark, table, baseline, 1000.0, buckets = 8))
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(s"DROP TABLE IF EXISTS ${table}__compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__old")
     }
   }
 
