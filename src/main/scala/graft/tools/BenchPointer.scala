@@ -102,6 +102,13 @@ object BenchPointer {
                                  maxN: Int): String = {
     val body = winnerJson.trim
     require(body.startsWith("{"), "history artifact must be a JSON object")
+    // the stamp is spliced into the JSON verbatim: constrain the
+    // filename to the bench_<ts>_<tag>.json character set (no quotes
+    // or backslashes possible) rather than escaping — anything else
+    // in the window is not a Bench history artifact (ADVICE r17; the
+    // `rule` constant is quote-free by construction)
+    require(winnerName.matches("bench_[A-Za-z0-9._-]+\\.json"),
+      s"history filename is not stampable as-is: $winnerName")
     val stamp = s""""pointer_source":{"source_history_file":"$winnerName",""" +
       s""""rule":"$rule","window":$maxN},"""
     "{" + stamp + body.drop(1)

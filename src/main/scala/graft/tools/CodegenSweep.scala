@@ -27,11 +27,17 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
 object CodegenSweep {
 
   /** All plan nodes reachable from `p`, descending through AQE's
-    * executed plan and materialized query stages (the pre-execution
-    * AdaptiveSparkPlan string hides both). */
+    * executed plan, materialized query stages (the pre-execution
+    * AdaptiveSparkPlan string hides both), and cached relations'
+    * build plans (ADVICE r17: an InMemoryTableScan is a leaf whose
+    * relation.cachedPlan is the plan that actually computed the
+    * cache — a CodegenFallback there is exactly the 'interpreted but
+    * plan looks right' class this tool exists to enumerate). */
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
     case q: QueryStageExec        => p +: walk(q.plan)
+    case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      p +: walk(c.relation.cachedPlan)
     case _                        => p +: p.children.flatMap(walk)
   }
 

@@ -26,7 +26,15 @@ object Q79Probe {
       java.nio.file.Files.createTempDirectory("probe_q79").toString)
     val modesOnly = args.lift(2).contains("modes")
     val naturalOnly = args.lift(2).contains("natural")
-    val expectK = args.lift(3).map(_.toInt)
+    // the replication factor `k` only means something to the natural
+    // tripwire — parse it there alone, and fail fast (not silently
+    // ignore) if a 4th arg is passed to any other mode (ADVICE r17)
+    val expectK = args.lift(3).map { a =>
+      require(naturalOnly,
+        s"4th arg '$a' (replica factor k) is only valid after 'natural'")
+      a.toIntOption.getOrElse(
+        sys.error(s"replica factor k must be an integer, got '$a'"))
+    }
     val spark = graft.GraftSession.local("q79-probe")
     graft.SparkEntry.entry(spark).count() // warm-up
     DedupOps.withStagingRoot(Some(root)) {

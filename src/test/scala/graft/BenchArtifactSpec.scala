@@ -172,10 +172,18 @@ class BenchArtifactSpec extends AnyFunSuite {
     val full = """{"metric":"total","value":82.1,"valid":true,""" +
       """"calib_start_sec":0.1,"calib_end_sec":0.1,"warnings":{}}"""
     java.nio.file.Files.write(p,
-      BenchPointer.pointerJson(full, "src.json", 4).getBytes("UTF-8"))
+      BenchPointer.pointerJson(full, "bench_src_x.json", 4).getBytes("UTF-8"))
     val parsed = BenchPointer.parse(p, new String(
       java.nio.file.Files.readAllBytes(p), "UTF-8"))
     assert(parsed.exists(r => r.valid && r.totalSec == 82.1))
+    // a filename that could break the spliced JSON is refused, not
+    // escaped (ADVICE r17): only bench_<ts>_<tag>.json shapes stamp
+    intercept[IllegalArgumentException] {
+      BenchPointer.pointerJson(hist, """bench_"quote"_x.json""", 4)
+    }
+    intercept[IllegalArgumentException] {
+      BenchPointer.pointerJson(hist, "src.json", 4)
+    }
   }
 
   test("BenchPointer tag match is exact-suffix, not substring") {
