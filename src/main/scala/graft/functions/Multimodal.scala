@@ -127,10 +127,16 @@ object Multimodal {
       .where(octet_length(col("content")) >= frameLen)
       .withColumn("n_frames", expr(
         s"cast((octet_length(content) - $frameLen) div $stride as int) + 1"))
-      .select(col("media_id"),
-        posexplode(expr(
-          s"transform(sequence(0, n_frames - 1), i -> substring(content, i * $stride + 1, $frameLen))"))
-          .as(Seq("frame_idx", "frame")))
+      // explode the INDEX sequence, slice per exploded row: the r17
+      // form transform()'d the full frame array per media row first —
+      // a CodegenFallback lambda (fleet sweep hit, PERF §50) AND a
+      // per-row materialization of every frame before the explode;
+      // index-first keeps the slicing in whole-stage codegen and
+      // streams one frame at a time
+      .select(col("media_id"), col("content"),
+        explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
+      .withColumn("frame", expr(
+        s"substring(content, frame_idx * $stride + 1, $frameLen)"))
       .select(col("media_id"), col("frame_idx"),
         octet_length(col("frame")).as("n_bytes"),
         md5(col("frame")).as("frame_md5"))

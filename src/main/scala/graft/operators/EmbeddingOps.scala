@@ -519,9 +519,13 @@ object EmbeddingOps {
   def embeddingHealth(spark: SparkSession, sfDir: String): DataFrame =
     vectors(spark, sfDir)
       .withColumn("dims", size(col("v")))
-      .withColumn("n_zero", expr("size(filter(v, x -> x = 0.0d))"))
-      .withColumn("n_nonfinite", expr(
-        "size(filter(v, x -> isnan(x) or abs(x) = cast('Infinity' as double)))"))
+      // one-pass native counts (graft.functions.VecHealthCounts): the
+      // two filter() lambdas here were the fleet sweep's q59 hit
+      // (CodegenFallback on a corpus-wide narrow map, PERF §50);
+      // parity with the lambda forms is spec-pinned in VecHealthSpec
+      .withColumn("__h", graft.functions.VecHealth.vec_health_counts(col("v")))
+      .withColumn("n_zero", col("__h").getField("n_zero"))
+      .withColumn("n_nonfinite", col("__h").getField("n_nonfinite"))
       .withColumn("norm", round(col("nrm"), 6))
       .withColumn("degenerate",
         (col("n_nonfinite") > 0 || col("n_zero") === col("dims")).cast("int"))
