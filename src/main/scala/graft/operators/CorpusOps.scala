@@ -585,16 +585,32 @@ object CorpusOps {
     * topic tagging and domain classifiers in a curation pipeline.
     *
     * Scale shape: tf is one hash-agg on (doc_id, term); df is an agg
-    * over the DISTINCT (doc_id, term) stream which REUSES the tf
-    * result (no second pass over the corpus); the df table (one row
+    * over the DISTINCT (doc_id, term) stream which reuses the tf
+    * FRAME — but NOT the tf computation: the r18 A/B re-run
+    * (Q56Probe, 100× corpus, post-§47 code) showed ReuseExchange does
+    * not dedupe the tf subtree (post-exec plan: 0 reused stages,
+    * 2 document scans), so the hint-free r14 §30 canonical form paid
+    * the corpus explode+agg TWICE. tf is now persisted
+    * (MEMORY_AND_DISK, LRU-registered like the band cache) — one
+    * corpus scan, measured 5.4 → 4.5 s at 100×. The df table (one row
     * per vocabulary term — Heaps' law: sublinear in corpus size)
     * joins back hint-free, broadcast while it fits. Top-k is a
-    * per-doc window over tf rows, never a global sort. */
+    * per-doc window over tf rows, never a global sort.
+    *
+    * NOT taken: deriving df as count() over Window.partitionBy(term)
+    * (no join at all) measured FASTEST locally (3.3 s at 100×) but a
+    * window partition holds EVERY tf row of its term on one task with
+    * no partial aggregation — a stopword-grade hot term at corpus
+    * scale is a single-task straggler/spill bomb, where the groupBy
+    * df collapses it map-side. The local win does not survive the
+    * 1000× skew; PERF §51. */
   def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tfidfTfCacheRegistry.register(tf): Unit
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score_ppm").desc, col("term").asc)
@@ -609,6 +625,16 @@ object CorpusOps {
       .select("doc_id", "term", "tf", "df", "score_ppm", "rank")
       .orderBy("doc_id", "rank")
   }
+
+  /** LRU-bounded registry for [[tfidfKeywords]]'s persisted tf frame
+    * (same discipline as DedupOps' band cache): repeated calls
+    * re-register the same logical frame (no growth); long-lived
+    * sessions can release explicitly. */
+  private[graft] val tfidfTfCacheRegistry = new SessionCacheRegistry(2)
+
+  /** Release this session's persisted q56 tf frames; returns count. */
+  def releaseTfidfCache(spark: SparkSession): Int =
+    tfidfTfCacheRegistry.release(spark)
 
   val tfidfKeywordsSql: String =
     s"""WITH tf AS (
