@@ -66,7 +66,18 @@ object GraftSession {
     * SkewProbe does. Apply to sessions whose workload joins
     * possibly-hot keys and aggregates on them; the force flag is
     * deliberately NOT the session default because uniform workloads
-    * pay the extra agg exchange for nothing. */
+    * pay the extra agg exchange for nothing.
+    *
+    * Firing contract at the PRODUCTION defaults, measured (PERF §53,
+    * 100× Zipf corpus): the split engages exactly when one key's
+    * post-shuffle partition reaches executor-memory scale — the
+    * mega-supplier join's 268 MB hot partition crossed the 256 MiB
+    * threshold and the forced split landed it back at 59 MB max-read
+    * (wall 16.6 → 5.5 s), while an un-forced session left it whole
+    * (the §40 agg-reuses-join-partitioning veto holds at ANY size,
+    * which is why the force flag, not the threshold, is the dial);
+    * hot keys below executor scale (42–85 MB there) correctly stay
+    * unsplit at the defaults. */
   def skewHardened(spark: SparkSession,
                    skewedPartitionThreshold: String = "256m",
                    advisoryPartitionSize: String = "64m"): SparkSession = {
