@@ -19,7 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * index array, a sliced token-array allocation, and an interpreted
   * lambda dispatch PER WINDOW (the same §47 defect class the LSH
   * candidate build hid; the r17 CodegenSweep flagged it in q55, q80
-  * and q81 — together ~8.7 s of the 100× bench). This expression
+  * and q81 — together 8.70 s of the r16 100× bench; measured after
+  * the rewrite across the three r18 100× runs: q55 2.54 → 0.66–0.67 s,
+  * q80 2.26 → 2.02–2.67 s, q81 3.90 → 2.79–3.88 s — the q55 shape,
+  * whose windows dominated its wall, keeps −74%; the q80/q81 shapes
+  * are span-hash-bound and sit in the noise band, PERF §52b). This
+  * expression
   * exploits the split/join round-trip identity: `split(text, ' ', -1)`
   * re-joined with single spaces is ALWAYS the original string
   * (repeated separators become empty tokens and come back as repeated
