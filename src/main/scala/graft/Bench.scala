@@ -65,6 +65,10 @@ object Bench {
   private[graft] def load5(line: String): Double =
     line.split("\\s+").lift(1).flatMap(_.toDoubleOption).getOrElse(Double.NaN)
 
+  /** 15-minute load average (field 3); NaN when unavailable. */
+  private[graft] def load15(line: String): Double =
+    line.split("\\s+").lift(2).flatMap(_.toDoubleOption).getOrElse(Double.NaN)
+
   /** Contention gate (VERDICT r14 #3): the r14 end-of-round artifacts
     * started at loadavg ~18 and carry 2.3×-drifted entries (q81 9.71 s
     * committed vs 4.6 s same-code quiet-box) — the calibration probe
@@ -108,6 +112,25 @@ object Bench {
     val l5 = load5(startLine)
     loadavgMax.collect { case max if !l5.isNaN && l5 > max && l5 <= 2 * max =>
       f"loadavg5_start $l5%.2f > $max%.2f: 5-min tail elevated; prefer a quieter same-code history run"
+    }
+  }
+
+  /** 15-minute tier (VERDICT r18 #2) — WARN only, never invalidates
+    * and never holds [[awaitQuietBox]] (a 15-min average needs ~15 min
+    * to decay; blocking the driver that long trades one bad artifact
+    * for no artifact). The r18 driver-of-record run booted at
+    * load1 0.49 / load5 1.81 / load15 4.52 — the tail of a 100× run
+    * that had just vacated the box — passed both existing tiers clean,
+    * and carried a 2.3× inflated total (stage_dedup 28.8 s vs 5.0 s
+    * same-code quiet). A recently-vacated box also holds a COLD page
+    * cache for this run's inputs (the warm pass covers that half; this
+    * warning covers the attribution half): the warn entry makes the
+    * run lose the BenchPointer unwarned-first rule to any genuinely
+    * quiet same-code sibling. */
+  private[graft] def load15Warning(startLine: String): Option[String] = {
+    val l15 = load15(startLine)
+    loadavgMax.collect { case max if !l15.isNaN && l15 > max =>
+      f"loadavg15_start $l15%.2f > $max%.2f: box was busy within the last 15 min (likely evicted page cache / decaying tail); prefer a quieter same-code history run"
     }
   }
 
@@ -158,6 +181,58 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     (runs.sorted.apply(1), runs)
+  }
+
+  /** Page-cache warm pass (VERDICT r18 #2): sequentially read the
+    * input parquet under `sfDir` driver-side so the timed reps measure
+    * the queries, not whichever prior job last owned the page cache.
+    * The r18 driver artifact ran minutes after a 100× history run had
+    * evicted sf0.1 from cache and read 2.3× the same-code quiet total;
+    * the load gates can't see a COLD cache (the box is idle by then).
+    * Largest files first so the byte cap (default 8 GiB — covers the
+    * driver's sf0.1 with slack; a 100× corpus warms partially, which
+    * is still the hottest-table prefix) spends its budget where the IO
+    * goes. 8 reader threads — the warm is IO-bound and parallel reads
+    * saturate the device without competing with anything (it runs
+    * before the first timed rep). `SPARK_GRAFT_WARM=off` disables for
+    * deliberate cold-cache experiments. Returns (seconds, bytesRead);
+    * both land in the artifact so a warm-dominated start stays
+    * attributable. */
+  private[graft] def warmPageCache(
+      sfDir: String, capBytes: Long = 8L << 30): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val readBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    try {
+      val root = java.nio.file.Paths.get(sfDir)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        val files =
+          try {
+            val it = walk.iterator()
+            val buf = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+            while (it.hasNext) { val p = it.next(); if (java.nio.file.Files.isRegularFile(p)) buf += p }
+            buf.sortBy(p => -java.nio.file.Files.size(p)).toVector
+          } finally walk.close()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        try files.map { p =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              if (readBytes.get() < capBytes) {
+                val buf = new Array[Byte](1 << 20)
+                val in = java.nio.file.Files.newInputStream(p)
+                try {
+                  var n = in.read(buf)
+                  while (n >= 0 && readBytes.addAndGet(math.max(n, 0)) < capBytes)
+                    n = in.read(buf)
+                } finally in.close()
+              }
+            }
+          })
+        }.foreach(_.get())
+        finally pool.shutdown()
+      }
+    } catch { case _: Throwable => () } // warm is best-effort, never fatal
+    ((System.nanoTime() - t0) / 1e9, readBytes.get())
   }
 
   /** One calibration sample (no median) — the cheap mid-run probe. */
@@ -211,9 +286,19 @@ object Bench {
       println(s"[contention][warn] $msg")
       warnings("load5") = msg
     }
+    load15Warning(loadBoot).foreach { msg =>
+      println(s"[contention][warn] $msg")
+      warnings("load15") = msg
+    }
 
     /** Median-of-`reps` seconds for `body`; failures recorded under
-      * `name` instead of silently counting as elapsed time. */
+      * `name` instead of silently counting as elapsed time. The full
+      * rep spread (min/median/max) also lands in the on-disk artifact
+      * (VERDICT r18 stretch #6): the 185.9 vs 165.0 s same-code 100×
+      * pair differed by single-query rep swings (q10 4.35 → 1.58)
+      * invisible to the bracketing calib probes — per-query spread
+      * makes mid-run variance attributable after the fact. */
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     def measure(name: String)(body: => Unit): Double = {
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -227,13 +312,25 @@ object Bench {
       }
       runs.flatMap(_._2).headOption.foreach(errors(name) = _)
       val ok = runs.collect { case (s, None) => s }.sorted
-      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      if (ok.isEmpty) -1.0
+      else {
+        spreads(name) = Seq(ok.head, ok(ok.size / 2), ok.last)
+        ok(ok.size / 2)
+      }
     }
 
     // warm-up: JIT + codegen + file-index caches, so per-query numbers
     // measure the query, not session startup
     try SparkEntry.entry(spark).count()
     catch { case e: Throwable => errors("warmup") = e.toString.take(160) }
+
+    // page-cache warm pass (VERDICT r18 #2) — before the first timed
+    // rep AND before the start calibration, so neither pays cold IO
+    val warmOff = sys.env.get("SPARK_GRAFT_WARM").contains("off")
+    val (warmSec, warmBytes) =
+      if (warmOff) (0.0, 0L) else warmPageCache(sfDir)
+    if (!warmOff)
+      println(f"[warm] read ${warmBytes.toDouble / (1L << 20)}%.0f MiB from $sfDir in $warmSec%.1f s")
 
     val loadStart = loadavg()
     val (calibStart, calibStartRuns) = calibrate(spark)
@@ -299,6 +396,7 @@ object Bench {
       s""""calib_end_sec":${f4(calibEnd)},""" +
       s""""calib_series":[${(calibStartRuns ++ calibMid ++ calibEndRuns).map(f4).mkString(",")}],""" +
       s""""contention_wait_sec":${f4(contentionWaitSec)},""" +
+      s""""warm_sec":${f4(warmSec)},"warm_bytes":$warmBytes,""" +
       s""""warnings":$warnJson,""" +
       s""""loadavg_boot":"${esc(loadBoot)}",""" +
       s""""loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}""""
@@ -323,7 +421,14 @@ object Bench {
     // names to their qNN prefix (~13 bytes/entry: the complete
     // 80-query line is ~1.3 kB, inside the capture bound with slack)
     // and points at the full artifact
-    val full = line(_.toString, s""","unstaged_queries":${toJson(unstaged, _.toString)}""")
+    // per-query rep spread goes in the FULL artifact only — ~40 bytes
+    // per query would push the compact stdout line past the round
+    // artifact's ~2000-char capture bound
+    val spreadJson = spreads.toSeq
+      .map { case (k, v) => "\"" + k + "\":[" + v.map(f4).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val full = line(_.toString,
+      s""","unstaged_queries":${toJson(unstaged, _.toString)},"query_spread":$spreadJson""")
     val out = java.nio.file.Paths.get("bench", "bench_full_latest.json")
     try {
       java.nio.file.Files.createDirectories(out.getParent)

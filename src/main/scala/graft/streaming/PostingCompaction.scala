@@ -19,9 +19,12 @@ import org.apache.spark.sql.SparkSession
   * ≤ `buckets` files (see [[rewrite]]'s landing-geometry note), swaps
   * in via rename-out/rename-in (NOT atomic — no catalog offers a
   * two-table atomic swap; every crash window leaves a recoverable
-  * table, see [[rewrite]]) and keeps the caller's table NAME stable,
+  * table and [[recoverIfNeeded]] performs that recovery on the next
+  * entry, see [[rewrite]]) and keeps the caller's table NAME stable,
   * so a long-running admission loop never re-resolves anything. */
 private[graft] object PostingCompaction {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private def location(spark: SparkSession, table: String): java.io.File = {
     val uri = spark.sessionState.catalog
@@ -34,6 +37,36 @@ private[graft] object PostingCompaction {
   def fileCount(spark: SparkSession, table: String): Int =
     Option(location(spark, table).listFiles()).getOrElse(Array.empty)
       .count(_.getName.startsWith("part-"))
+
+  /** Restore the live table after a crash inside [[rewrite]]'s swap
+    * window (VERDICT r18 #1): if `table` is missing but a side table
+    * survives, a single RENAME recovers service. Preference order:
+    * `table__compacting` first — the compacted write COMPLETED before
+    * any rename ran (the live name only disappears at the rename-out,
+    * which the sequence reaches only after `saveAsTable` returns), so
+    * renaming it in simply finishes the interrupted swap — then
+    * `table__old` (roll back to the pre-compaction data). Returns
+    * whether a recovery rename ran; a no-op when the live table
+    * already exists. Never drops anything unless the live name is
+    * populated first — in the crash window the side tables are the
+    * ONLY copies of the corpus. */
+  def recoverIfNeeded(spark: SparkSession, table: String): Boolean = {
+    val side = table + "__compacting"
+    val old = table + "__old"
+    if (spark.catalog.tableExists(table)) false
+    else if (spark.catalog.tableExists(side)) {
+      log.warn(s"$table missing with $side present (crash between " +
+        "rename-out and rename-in) — completing the interrupted swap")
+      spark.sql(s"ALTER TABLE $side RENAME TO $table"): Unit
+      spark.sql(s"DROP TABLE IF EXISTS $old"): Unit
+      true
+    } else if (spark.catalog.tableExists(old)) {
+      log.warn(s"$table missing with $old present — rolling back to " +
+        "the pre-compaction data")
+      spark.sql(s"ALTER TABLE $old RENAME TO $table"): Unit
+      true
+    } else false
+  }
 
   /** The compaction rewrite itself, unconditionally: one bucketed
     * pass over `table`, landing at ≤ `buckets` files, swapped in via
@@ -59,19 +92,31 @@ private[graft] object PostingCompaction {
     * shuffle (5.6 s). The repartition stays as a belt-and-braces
     * bound (it self-elides against the pinned bucketed scan).
     *
-    * SWAP (VERDICT r17 #2): there is no atomic two-table swap in the
-    * catalog, so the sequence is rename-out / rename-in / drop-old:
-    * a crash before the rename-out leaves the live table untouched
-    * (plus a stale side table this method cleans up on entry); a
-    * crash between the renames leaves BOTH `table__old` (the
-    * pre-compaction data) and `table__compacting` (the compacted
-    * data), either of which recovers by a single RENAME; a crash
-    * after the rename-in leaves the live table compacted plus a
-    * stale `table__old`, also cleaned up on entry. */
+    * SWAP (VERDICT r17 #2, recovery hardened per VERDICT r18 #1):
+    * there is no atomic two-table swap in the catalog, so the
+    * sequence is rename-out / rename-in / drop-old: a crash before
+    * the rename-out leaves the live table untouched (plus a stale
+    * side table); a crash between the renames leaves BOTH
+    * `table__old` (the pre-compaction data) and `table__compacting`
+    * (the compacted data); a crash after the rename-in leaves the
+    * live table compacted plus a stale `table__old`. Entry is
+    * recover-first, not drop-first: [[recoverIfNeeded]] renames a
+    * surviving side table back in when the live name is missing, and
+    * stale side tables are dropped ONLY once the live table is
+    * confirmed to exist — the pre-r18 unconditional entry drop would
+    * have destroyed the only copies of the data if invoked inside the
+    * between-renames crash window. */
   def rewrite(spark: SparkSession, table: String, buckets: Int,
               bucketCol: String): Unit = {
     val side = table + "__compacting"
     val old = table + "__old"
+    recoverIfNeeded(spark, table): Unit
+    require(spark.catalog.tableExists(table),
+      s"$table does not exist and neither $side nor $old survives to " +
+        "recover from — refusing to touch anything")
+    // Live table confirmed: anything left in the side slots is stale
+    // (a pre-rename-out crash's partial write, or a post-rename-in
+    // crash's undropped __old) and safe to clear.
     spark.sql(s"DROP TABLE IF EXISTS $side"): Unit
     spark.sql(s"DROP TABLE IF EXISTS $old"): Unit
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
@@ -109,6 +154,7 @@ private[graft] object PostingCompaction {
                 bucketCol: String): Boolean = {
     require(baselineFiles > 0, s"baselineFiles must be > 0, got $baselineFiles")
     require(filesFactor >= 1.0, s"filesFactor must be >= 1.0, got $filesFactor")
+    recoverIfNeeded(spark, table): Unit
     val files = fileCount(spark, table)
     if (files <= filesFactor * baselineFiles) false
     else {
@@ -119,22 +165,25 @@ private[graft] object PostingCompaction {
 }
 
 /** FLOOR-KEYED compaction dial (VERDICT r16 #1, guarded per VERDICT
-  * r17 #1) — the stateful form a long-running admission loop should
-  * hold, one per posting table.
+  * r17 #1 / r18 #3) — the stateful form a long-running admission loop
+  * should hold, one per posting table.
   *
   * The dial starts from the staged baseline (the only number known
   * before any compaction), and after EVERY compaction re-keys its
   * threshold off the measured post-compaction count — clamped at the
   * staged baseline from below, and guarded from above by [[rekey]]'s
-  * effectiveness check: a landing above half the firing threshold is
-  * a compaction that failed to shrink the table (the r17 ratchet,
-  * PERF §49) and is REJECTED rather than adopted as the new floor.
-  * With the fixed rewrite a healthy landing is ≤ buckets files, so in
-  * practice the floor stays at the staged baseline and `filesFactor`
-  * means what it says against the staged layout; the re-key exists so
-  * a table whose genuine compacted size ever exceeds the baseline
-  * still gets (factor − 1) × actual-floor of headroom instead of a
-  * strangled cadence.
+  * effectiveness check, which judges the landing against the file
+  * count the compaction actually started from (not the firing
+  * threshold — see [[rekey]]). With the fixed rewrite a healthy
+  * landing is ≤ buckets files, so in practice the floor stays at the
+  * staged baseline and `filesFactor` means what it says against the
+  * staged layout; the re-key exists so a table whose genuine
+  * compacted size ever exceeds the baseline still gets
+  * (factor − 1) × actual-floor of headroom instead of a strangled
+  * cadence. After [[CompactionDial.MaxConsecutiveRejections]]
+  * consecutive rejected landings the dial DISARMS — compaction is
+  * provably not shrinking the table, so re-firing a full-table
+  * rewrite on every batch is a compaction storm, not a remedy.
   *
   * Not thread-safe — one admission loop owns one dial, the same way
   * it owns the table. */
@@ -143,6 +192,8 @@ final class CompactionDial private[streaming] (
     buckets: Int, bucketCol: String) {
   require(stagedBaseline > 0, s"stagedBaseline must be > 0, got $stagedBaseline")
   require(filesFactor >= 1.0, s"filesFactor must be >= 1.0, got $filesFactor")
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private var floorFiles: Int = stagedBaseline
 
@@ -161,42 +212,85 @@ final class CompactionDial private[streaming] (
     * freak low landing can't make the dial fire on a near-compact
     * table.
     *
-    * EFFECTIVENESS GUARD (VERDICT r17 #1b): an unguarded
-    * "latest measurement wins" locked in the r17 soak's pathological
-    * landings (2,572 → 13,783 files) as successive floors, ratcheting
-    * the threshold 4,115 → 22,053 — a compaction that BARELY shrinks
-    * the table must be surfaced as a defect, not adopted as the new
-    * normal. A landing above half the firing threshold is rejected:
-    * the floor (and so the threshold) stays put, the dial keeps
-    * firing at the old cadence, and the rejection is visible to the
-    * caller via [[rejectedLandings]] and a warning line. A healthy
-    * rewrite lands at ≤ buckets files — orders of magnitude under any
-    * threshold — so the guard never fires on a working layout. */
-  private[graft] def rekey(postCompactionFiles: Int): Unit =
-    if (postCompactionFiles > threshold / 2) {
+    * EFFECTIVENESS GUARD (VERDICT r17 #1b, re-keyed per r18 #3): an
+    * unguarded "latest measurement wins" locked in the r17 soak's
+    * pathological landings (2,572 → 13,783 files) as successive
+    * floors, ratcheting the threshold 4,115 → 22,053 — a compaction
+    * that BARELY shrinks the table must be surfaced as a defect, not
+    * adopted as the new normal. The r17 guard compared the landing to
+    * half the FIRING THRESHOLD, which for filesFactor < 2 sits below
+    * the staged baseline itself — a genuine compact-to-baseline
+    * landing would be rejected forever and the documented adaptive
+    * re-key was unreachable (VERDICT r18 #3). The guard now judges
+    * effectiveness against what the compaction had to work with: a
+    * landing is rejected only when it exceeds BOTH half the
+    * pre-compaction file count (the rewrite failed to even halve the
+    * table) AND the staged baseline (a landing at or under the staged
+    * layout is compact by definition, whatever the shrink ratio). A
+    * healthy rewrite lands at ≤ buckets files — orders of magnitude
+    * under either bound — so the guard never fires on a working
+    * layout. [[CompactionDial.MaxConsecutiveRejections]] consecutive
+    * rejections disarm the dial (see [[maybeCompact]]): with the
+    * floor pinned, an ineffective rewrite would otherwise re-fire on
+    * every subsequent check — a full-table write per batch, signaled
+    * only by log lines. */
+  private[graft] def rekey(postCompactionFiles: Int,
+                           preCompactionFiles: Int): Unit =
+    if (postCompactionFiles >
+        math.max(preCompactionFiles / 2.0, stagedBaseline.toDouble)) {
       rejectedCount += 1
-      println(f"[compaction-dial][warn] $table: rejected landing of " +
-        f"$postCompactionFiles files (> half the ${threshold}%.0f-file " +
-        "firing threshold) — compaction is not shrinking the table; " +
-        "floor stays at " + floorFiles)
-    } else floorFiles = math.max(stagedBaseline, postCompactionFiles)
+      consecutiveRejected += 1
+      log.warn(f"$table: rejected landing of $postCompactionFiles files " +
+        f"(> max(half the $preCompactionFiles-file pre-compaction count, " +
+        f"staged baseline $stagedBaseline)) — compaction is not shrinking " +
+        s"the table; floor stays at $floorFiles " +
+        s"($consecutiveRejected consecutive rejection(s))")
+      if (disarmed)
+        log.error(s"$table: ${CompactionDial.MaxConsecutiveRejections} " +
+          "consecutive rejected landings — dial DISARMED; compaction is " +
+          "not shrinking this table (layout/plan defect), refusing to " +
+          "storm it with full-table rewrites")
+    } else {
+      floorFiles = math.max(stagedBaseline, postCompactionFiles)
+      consecutiveRejected = 0
+    }
 
   private var rejectedCount: Int = 0
+  private var consecutiveRejected: Int = 0
 
   /** Landings [[rekey]] refused to adopt — nonzero means compaction
     * is not actually shrinking the table (a layout/plan defect). */
   def rejectedLandings: Int = rejectedCount
 
+  /** True once [[CompactionDial.MaxConsecutiveRejections]] consecutive
+    * landings were rejected: [[maybeCompact]] becomes a no-op rather
+    * than a per-batch full-table rewrite storm. A disarmed dial is a
+    * page-the-operator condition, not a recoverable state — the
+    * rewrite itself is defective for this table. */
+  def disarmed: Boolean =
+    consecutiveRejected >= CompactionDial.MaxConsecutiveRejections
+
   /** Compact when the table's file count exceeds [[threshold]]; on a
-    * compaction, measure the landing and [[rekey]]. Returns whether a
+    * compaction, measure the landing and [[rekey]]. Recovers a
+    * mid-swap-crashed table on entry ([[PostingCompaction.recoverIfNeeded]])
+    * and refuses to fire once [[disarmed]]. Returns whether a
     * compaction ran. */
   def maybeCompact(spark: SparkSession): Boolean = {
+    if (disarmed) return false
+    PostingCompaction.recoverIfNeeded(spark, table): Unit
     val files = PostingCompaction.fileCount(spark, table)
     if (!shouldFire(files)) false
     else {
       PostingCompaction.rewrite(spark, table, buckets, bucketCol)
-      rekey(PostingCompaction.fileCount(spark, table))
+      rekey(PostingCompaction.fileCount(spark, table), files)
       true
     }
   }
+}
+
+object CompactionDial {
+  /** Consecutive rejected landings after which a dial stops firing —
+    * three full-table rewrites that each failed to shrink the table
+    * is a defect to page on, not a cadence to sustain. */
+  val MaxConsecutiveRejections: Int = 3
 }

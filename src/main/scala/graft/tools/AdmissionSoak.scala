@@ -188,7 +188,9 @@ object AdmissionSoak {
     val last10 = latencies.takeRight(10).sum / math.min(10, latencies.length)
     println(f"[soak] summary n=$nBatches batchSize=$batchSize " +
       f"p50=${pct(0.50)}%.3f p90=${pct(0.90)}%.3f p99=${pct(0.99)}%.3f " +
-      f"max=${sorted.last}%.3f s first10mean=$first10%.3f last10mean=$last10%.3f")
+      f"max=${sorted.last}%.3f s first10mean=$first10%.3f last10mean=$last10%.3f " +
+      s"compactions=$compactions rejectedLandings=${dial.rejectedLandings} " +
+      s"disarmed=${dial.disarmed}")
     // per-100-batch windows (VERDICT r15 stretch #9): a flat global
     // p99 can hide a drifting tail when n >> 100 — the windowed
     // series is the "production admission gate" evidence shape

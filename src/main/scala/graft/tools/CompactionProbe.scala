@@ -98,10 +98,15 @@ object CompactionProbe {
     }
 
     def run(tag: String)(body: => Unit): Unit = {
+      // recompute the input count here, not from `before` (ADVICE r18):
+      // variants B/C/D run on tables rebuilt by copyTo (compacted to
+      // ~buckets files then re-appended), whose actual file count can
+      // differ from the original inflated table's
+      val input = PostingCompaction.fileCount(spark, table)
       val t0 = System.nanoTime()
       body
       println(f"[cprobe] $tag landed ${PostingCompaction.fileCount(spark, table)} files " +
-        f"(buckets=$buckets, input=$before) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        f"(buckets=$buckets, input=$input) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
     run("A spark.table+repartition") {

@@ -85,7 +85,48 @@ class BenchArtifactSpec extends AnyFunSuite {
   test("load parsing: fields and NaN off-Linux") {
     assert(Bench.load1("1.25 2.50 3.75 1/100 1") == 1.25)
     assert(Bench.load5("1.25 2.50 3.75 1/100 1") == 2.50)
-    assert(Bench.load1("").isNaN && Bench.load5("").isNaN)
+    assert(Bench.load15("1.25 2.50 3.75 1/100 1") == 3.75)
+    assert(Bench.load1("").isNaN && Bench.load5("").isNaN && Bench.load15("").isNaN)
+  }
+
+  // ---- 15-min tier (VERDICT r18 #2) ----
+
+  test("recently-vacated box (the r18 driver boot shape) earns a load15 warning, stays valid") {
+    // load1 0.49 / load5 1.81 / load15 4.52: passed both r18 tiers
+    // clean and carried a 2.3x inflated total
+    val line = "0.49 1.81 4.52 4/482 6678"
+    assert(Bench.contentionError(line).isEmpty)
+    assert(Bench.load5Error(line).isEmpty && Bench.load5Warning(line).isEmpty)
+    assert(Bench.load15Warning(line).isDefined,
+      "the 15-min tail must warn so BenchPointer prefers a clean sibling")
+  }
+
+  test("quiet 15-min average does not warn; tier never blocks the wait loop") {
+    assert(Bench.load15Warning("0.50 0.40 3.99 1/100 1").isEmpty)
+    // load15 high but 1/5-min quiet: awaitQuietBox must NOT hold (a
+    // 15-min average needs ~15 min to decay — warn, don't block)
+    val (_, waited) = Bench.awaitQuietBox(() => "0.50 0.40 9.00 1/100 1")
+    assert(waited == 0.0)
+  }
+
+  // ---- page-cache warm pass (VERDICT r18 #2) ----
+
+  test("warm pass reads the input files largest-first under the byte cap") {
+    val dir = java.nio.file.Files.createTempDirectory("warm")
+    def put(name: String, size: Int) =
+      java.nio.file.Files.write(dir.resolve(name), Array.fill[Byte](size)(7))
+    put("big.parquet", 4 << 20)
+    put("small.parquet", 1 << 20)
+    val (sec, bytes) = Bench.warmPageCache(dir.toString)
+    assert(sec >= 0.0 && bytes == (5 << 20).toLong, s"expected full read, got $bytes")
+    // cap bounds the read: with a 2 MiB budget the largest file alone
+    // exhausts it (reads run in 1 MiB chunks, stop at >= cap)
+    val (_, capped) = Bench.warmPageCache(dir.toString, capBytes = 2L << 20)
+    assert(capped >= (2L << 20) && capped < (5L << 20),
+      s"cap must bound the warm read, got $capped")
+    // a missing dir is a no-op, never fatal
+    val (_, none) = Bench.warmPageCache(dir.resolve("absent").toString)
+    assert(none == 0L)
   }
 
   // ---- pointer refresh picks the quietest valid run (VERDICT r15 #3) ----

@@ -55,37 +55,63 @@ class StreamingDedupSpec extends SparkSpec {
     val dial = StreamingDedup.compactionDial("t", 2048, filesFactor = 4.0)
     assert(dial.currentFloor == 2048 && dial.threshold == 8192.0)
     assert(!dial.shouldFire(8192) && dial.shouldFire(8193))
-    dial.rekey(3200)
+    // fired at 8,193 files, landed 3,200: a 2.6× shrink, adopted
+    dial.rekey(3200, preCompactionFiles = 8193)
     assert(dial.currentFloor == 3200 && dial.threshold == 12800.0)
     // the stateless dial keeps firing at 8,193 forever from here;
     // the floor-keyed threshold restores (factor−1) × actual-floor
     assert(!dial.shouldFire(8193))
     assert(dial.shouldFire(12801))
     // a freak low landing never drags the floor under the baseline
-    dial.rekey(100)
+    dial.rekey(100, preCompactionFiles = 12801)
     assert(dial.currentFloor == 2048)
     assert(dial.rejectedLandings == 0, "healthy landings are never rejected")
   }
 
-  test("rekey guard rejects a landing above half the firing threshold (VERDICT r17 #1)") {
+  test("rekey guard rejects an ineffective landing and disarms after a storm (VERDICT r17 #1, r18 #3)") {
     // injected counts replaying the r17 soak's ratchet: the defective
-    // rewrite landed 2,572 files over a 2,048 baseline (factor 2.0 →
-    // threshold 4,096) and "latest measurement wins" adopted it —
-    // compounding 1.32× per cycle to 13,783 files. The guard refuses
-    // any landing that exceeds half the threshold: the floor stays
-    // put, the rejection is counted, and the dial keeps firing at the
-    // unratcheted cadence.
+    // rewrite landed 2,572 files from 4,115 over a 2,048 baseline
+    // (factor 2.0 → threshold 4,096) and "latest measurement wins"
+    // adopted it — compounding 1.32× per cycle to 13,783 files. The
+    // guard refuses any landing above BOTH half the pre-compaction
+    // count and the staged baseline: the floor stays put, the
+    // rejection is counted, and the dial keeps firing at the
+    // unratcheted cadence until the disarm bound.
     val dial = StreamingDedup.compactionDial("t", 2048, filesFactor = 2.0)
     assert(dial.threshold == 4096.0 && dial.rejectedLandings == 0)
-    dial.rekey(2572)
+    dial.rekey(2572, preCompactionFiles = 4115)
     assert(dial.currentFloor == 2048,
       "a pathological landing must not ratchet the floor")
     assert(dial.threshold == 4096.0)
-    assert(dial.rejectedLandings == 1)
+    assert(dial.rejectedLandings == 1 && !dial.disarmed)
     // a healthy post-fix landing (≤ buckets files) is adopted, clamped
-    // at the staged baseline
-    dial.rekey(64)
+    // at the staged baseline — and resets the consecutive-rejection run
+    dial.rekey(64, preCompactionFiles = 4115)
     assert(dial.currentFloor == 2048 && dial.rejectedLandings == 1)
+    // three consecutive ineffective landings disarm the dial: a
+    // rewrite that provably doesn't shrink the table must not re-fire
+    // a full-table write on every subsequent batch
+    (1 to 3).foreach(_ => dial.rekey(4000, preCompactionFiles = 4115))
+    assert(dial.rejectedLandings == 4 && dial.disarmed,
+      "3 consecutive rejections must disarm the dial")
+  }
+
+  test("rekey guard adopts a compact-to-baseline landing under filesFactor < 2 (VERDICT r18 #3)") {
+    // the r17 guard compared the landing to threshold/2 = (factor/2) ×
+    // floor, so for factor 1.6 (threshold 3,277 over a 2,048 baseline)
+    // the guard sat at 1,638 — BELOW the baseline — and a genuine
+    // compact-to-baseline landing of 2,048 was rejected forever, an
+    // every-check full-table rewrite storm. Judged against the
+    // pre-compaction count with the staged baseline as an absolute
+    // floor, the same landing is adopted.
+    val dial = StreamingDedup.compactionDial("t", 2048, filesFactor = 1.6)
+    assert(dial.threshold == 2048 * 1.6)
+    // fired just above threshold (3,300 files), landed at the staged
+    // baseline: compact by definition, whatever the shrink ratio
+    dial.rekey(2048, preCompactionFiles = 3300)
+    assert(dial.rejectedLandings == 0,
+      "a landing at the staged baseline must never be rejected")
+    assert(dial.currentFloor == 2048 && !dial.disarmed)
   }
 
   test("stream-static admission flags near-dups in flight, passes novel docs silently") {

@@ -62,6 +62,46 @@ class VecHealthSpec extends SparkSpec {
       .head.isNullAt(0), "null input must yield null")
   }
 
+  test("interpreted path (nullSafeEval) forced directly and compared to codegen (ADVICE r18)") {
+    // The pre-r19 suite only ever evaluated the expression under
+    // whole-stage codegen, so a nullSafeEval/doGenCode divergence —
+    // the exact defect class a two-path expression guards against —
+    // would never have been caught. Here nullSafeEval IS the code
+    // under test: eval the expression on literal inputs (no plan, no
+    // codegen) and compare against the codegen results on the same
+    // vectors.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.functions.VecHealthCounts
+    val edges = spark.sql(
+      """SELECT v FROM VALUES
+        |  (CAST(array() AS ARRAY<DOUBLE>)),
+        |  (array(0.0d, -0.0d, 1.5d)),
+        |  (array(cast('NaN' as double), cast('Infinity' as double),
+        |         cast('-Infinity' as double), 2.0d)),
+        |  (CAST(array(0.0, NULL, cast('NaN' as double)) AS ARRAY<DOUBLE>)),
+        |  (array(1e308d, -1e308d, 4.9e-324d))
+        |AS t(v)""".stripMargin)
+    val rows = edges
+      .select($"v", VecHealth.vec_health_counts($"v").as("h")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val interp = VecHealthCounts(
+          Literal.create(r.getSeq[Any](0), ArrayType(DoubleType, containsNull = true)))
+        .eval(InternalRow.empty).asInstanceOf[InternalRow]
+      val codegen = r.getStruct(1)
+      assert((interp.getInt(0), interp.getInt(1)) ==
+          ((codegen.getInt(0), codegen.getInt(1))),
+        s"interpreted/codegen divergence on ${r.getSeq[Any](0)}: " +
+          s"(${interp.getInt(0)},${interp.getInt(1)}) vs " +
+          s"(${codegen.getInt(0)},${codegen.getInt(1)})")
+    }
+    // interpreted null-input contract, same path
+    assert(VecHealthCounts(Literal.create(null, ArrayType(DoubleType, containsNull = true)))
+      .eval(InternalRow.empty) == null, "interpreted eval of null input must be null")
+  }
+
   test("evaluates inside whole-stage codegen and agrees with interpreted eval") {
     val df = spark.range(1, 301)
       .withColumn("v", array((0 until 16).map(d =>
