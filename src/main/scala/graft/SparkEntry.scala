@@ -184,6 +184,8 @@ object SparkEntry {
     // one-pass span hashing; exact via string re-group of survivors)
     "q80_repeated_spans" -> CorpusOps.repeatedSpans _,
     "q81_dedup_span_ranges" -> CorpusOps.dedupSpanRanges _,
+    // similarity: int8-quantized cosine top-k (compressed-corpus path)
+    "q82_quantized_ann" -> EmbeddingOps.quantizedCosineTopK _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -270,5 +272,6 @@ object SparkEntry {
     "q79_prefix_jaccard" -> DedupOps.prefixJaccardPairsSql,
     "q80_repeated_spans" -> CorpusOps.repeatedSpansSql,
     "q81_dedup_span_ranges" -> CorpusOps.dedupSpanRangesSql,
+    "q82_quantized_ann" -> EmbeddingOps.quantizedCosineTopKSql,
   )
 }
