@@ -95,6 +95,20 @@ object EmbeddingOps {
   private def planeVec(p: Int): Array[Double] =
     Array.tabulate(dim)(d => if ((d * 13 + p * 7) % 5 < 2) 1.0 else -1.0)
 
+  /** Sign-LSH bucket id as a single per-row Column over an
+    * array<double> vector — the same planes and arithmetic as
+    * [[lshBuckets]] (codegen dot against each literal plane, bit p set
+    * when the projection is positive), packaged so stream-side callers
+    * ([[graft.streaming.StreamingSemanticGate]]) can bucket a
+    * micro-batch with ZERO shuffle and land in the corpus table's
+    * bucket space. */
+  private[graft] def signBucket(v: Column, planes: Int = numPlanes): Column = {
+    require(planes > 0 && planes < 31, s"planes must be in [1, 30], got $planes")
+    (0 until planes)
+      .map(p => when(dotC(lit(planeVec(p)), v) > 0, lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+
   private def lshBucketsFrom(vecs: DataFrame, planes: Int = numPlanes): DataFrame = {
     require(planes > 0 && planes < 31, s"planes must be in [1, 30], got $planes")
     val withProj = (0 until planes).foldLeft(vecs) { (df, p) =>

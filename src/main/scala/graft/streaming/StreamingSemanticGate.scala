@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DotProduct.dot_product
+import graft.functions.VecQuant.vec_q8
+import graft.operators.EmbeddingOps
+
+/** EMBEDDING-level near-duplicate admission for a document stream —
+  * the semantic complement to [[StreamingDedup]]'s lexical (minhash)
+  * gate: a paraphrased or re-tokenized duplicate shares no shingles
+  * but lands next to its source in embedding space, so a training-data
+  * admission pipeline runs BOTH gates (the reference-side analogue is
+  * batch `EmbeddingOps.semanticDecontaminate`, q53 — this is its
+  * continuous form).
+  *
+  * The 100 TB layout mirrors [[StreamingDedup.stageCorpusBands]]:
+  *
+  *   - ONE-TIME corpus staging ([[stageCorpusVectors]]): every corpus
+  *     vector is int8-quantized (`graft.functions.VecQ8` — 4–8× the
+  *     bytes of the float corpus saved at rest AND per probe read),
+  *     its quantized norm precomputed, its sign-LSH bucket id
+  *     assigned (same planes as q26/q27), and the table written
+  *     BUCKETED AND SORTED on the bucket id.
+  *   - PER MICRO-BATCH probe ([[semanticMatches]]): the batch side
+  *     quantizes, norms and buckets itself in one narrow codegen map
+  *     (vec_q8 + dot_product + the plane sums — no lambda, no
+  *     shuffle), then stream-static joins the staged table on the
+  *     bucket id: Spark shuffles and sorts ONLY the micro-batch side
+  *     into `buckets` partitions; the corpus reads bucket-aligned in
+  *     place, per batch and forever. Candidates clear `minCos` on the
+  *     QUANTIZED cosine — integer dots, scale factors cancelled, the
+  *     q82 arithmetic — so the probe never touches float corpus
+  *     vectors at all.
+  *
+  * Recall contract (the q27/IVF trade, stated): only the query's own
+  * sign bucket is probed (nprobe=1). A true neighbor whose projection
+  * on some plane sits near zero can land one bucket over; raise
+  * recall the q26 way (more independent plane sets unioned) or lower
+  * `planes` to coarsen buckets. Quantization itself moves cosine by
+  * <1% at dim 64 (q82: 24/25 top-5 agreement with exact float) —
+  * budget `minCos` with that margin.
+  *
+  * Like [[StreamingDedup.nearDupMatches]], the final dropDuplicates
+  * is Spark's stateful dedup on a stream (a pair is emitted once for
+  * the query's lifetime, surviving checkpoint restarts) and a plain
+  * distinct on a batch frame. */
+object StreamingSemanticGate {
+
+  /** Quantized columns for one side: `__qd` (int8 codes as
+    * array<double> — exact, see q82), `__qn` (quantized norm),
+    * `__bkt` (sign-LSH bucket). All three are per-row codegen over
+    * the vector — legal in any streaming projection, zero shuffle. */
+  private def withQuantized(df: DataFrame, vecCol: String,
+                            planes: Int): DataFrame =
+    df.withColumn("__qd",
+        vec_q8(col(vecCol).cast("array<double>")).cast("array<double>"))
+      .withColumn("__qn", sqrt(dot_product(col("__qd"), col("__qd"))))
+      .withColumn("__bkt", EmbeddingOps.signBucket(col(vecCol).cast("array<double>"), planes))
+      // a zero/empty/null vector has no direction: it cannot be a
+      // semantic neighbor of anything, and its quantized norm of 0
+      // would put a division by zero into the cosine
+      .where(col("__qn") > 0)
+
+  /** ONE-TIME corpus-side layout: `(cbkt, corpus_id, __cqd, __cqn)`
+    * bucketed+sorted on the sign-LSH bucket. Returns the staged data
+    * file count — the baseline for a [[CompactionDial]] if the gate
+    * absorbs admitted vectors the [[StreamingDedup]] way.
+    *
+    * @param corpus frame with `idCol` and `vecCol` (array<float> or
+    *               array<double>) */
+  def stageCorpusVectors(spark: SparkSession, corpus: DataFrame,
+                         table: String, buckets: Int = 64,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         planes: Int = EmbeddingOps.numPlanes): Int = {
+    withQuantized(corpus.select(col(idCol), col(vecCol)), vecCol, planes)
+      .select(col("__bkt").as("cbkt"), col(idCol).as("corpus_id"),
+        col("__qd").as("__cqd"), col("__qn").as("__cqn"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cbkt").sortBy("cbkt")
+      .format("parquet").saveAsTable(table)
+    PostingCompaction.fileCount(spark, table)
+  }
+
+  /** Per-batch (or batch-frame) probe against the staged table from
+    * [[stageCorpusVectors]]: one row per (stream doc, corpus partner)
+    * whose same-bucket quantized cosine reaches `minCos`.
+    *
+    * @param stream frame with `idCol` and `vecCol` */
+  def semanticMatches(stream: DataFrame, spark: SparkSession, table: String,
+                      minCos: Double = EmbeddingOps.nearDupCos,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      planes: Int = EmbeddingOps.numPlanes): DataFrame =
+    withQuantized(stream.select(col(idCol), col(vecCol)), vecCol, planes)
+      .select(col(idCol).as("new_id"), col("__qd"), col("__qn"), col("__bkt"))
+      .join(spark.table(table), col("__bkt") === col("cbkt"))
+      .withColumn("cos_q8",
+        dot_product(col("__qd"), col("__cqd")) / (col("__qn") * col("__cqn")))
+      .where(col("cos_q8") >= minCos)
+      .select("new_id", "corpus_id", "cos_q8")
+      .dropDuplicates("new_id", "corpus_id")
+}

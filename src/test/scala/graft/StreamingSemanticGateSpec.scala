@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.EmbeddingOps
+import graft.streaming.StreamingSemanticGate
+
+class StreamingSemanticGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val table = "sg_sem_corpus"
+  private val buckets = 8
+
+  /** (vec_id, quantized ints, sign bucket) for every embedding, both
+    * pieces computed through ALREADY-SPEC-PINNED engine paths
+    * (VecQuantSpec bit-parity; q26's oracle-checked buckets) — the
+    * driver then recombines them independently of the gate's join. */
+  private def quantizedWithBuckets(): Map[Long, (Array[Double], Int)] = {
+    val q = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.VecQuant.vec_q8(col("embedding").cast("array<double>")).as("q"))
+      .as[(Long, Array[Int])].collect().toMap
+    val bk = EmbeddingOps.lshBuckets(spark, sf)
+      .as[(Long, Int)].collect().toMap
+    q.map { case (id, arr) => id -> (arr.map(_.toDouble), bk(id)) }
+  }
+
+  test("batch matches equal the driver-side same-bucket quantized-cosine truth") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.where(col("vec_id") >= 10)
+    // batch = the 10 raw query vectors PLUS two corpus twins under new
+    // ids — random embeddings rarely clear nearDupCos naturally at
+    // this sf, and the gate's job is exactly the twin case
+    val twins = emb.where(col("vec_id") === 42 || col("vec_id") === 77)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val batch = emb.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).unionByName(twins)
+    val staged = StreamingSemanticGate.stageCorpusVectors(
+      spark, corpus, table, buckets)
+    try {
+      assert(staged > 0)
+      val got = StreamingSemanticGate.semanticMatches(batch, spark, table)
+        .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+
+      val base = quantizedWithBuckets()
+      val all = base ++ Seq(1000042L -> base(42L), 1000077L -> base(77L))
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val expected = (for {
+        (nid, (nq, nb)) <- all if (nid < 10 || nid >= 1000000L) && nq.exists(_ != 0.0)
+        (cid, (cq, cb)) <- all if cid >= 10 && cid < 1000000L && cq.exists(_ != 0.0)
+        if nb == cb && cos(nq, cq) >= EmbeddingOps.nearDupCos
+      } yield (nid, cid)).toSet
+      assert(expected.nonEmpty, "fixture must produce at least one semantic match")
+      assert(expected.contains((1000042L, 42L)) && expected.contains((1000077L, 77L)),
+        "the injected twins must be in the truth set")
+      assert(got == expected,
+        s"gate/truth divergence: only-gate=${got -- expected} only-truth=${expected -- got}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("corpus side reads its buckets in place: zero corpus exchange per probe") {
+    val emb = Tables.embeddings(spark, sf)
+    StreamingSemanticGate.stageCorpusVectors(
+      spark, emb.where(col("vec_id") >= 10), table, buckets)
+    try {
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "-1")
+      try {
+        val plan = StreamingSemanticGate.semanticMatches(
+            emb.where(col("vec_id") < 10), spark, table)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"), s"bucket layout unused:\n$plan")
+        assert(!plan.contains("Exchange hashpartitioning(cbkt"),
+          s"corpus side exchanged on a probe:\n$plan")
+      } finally spark.conf.set(key, prev)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("stream drive: exact and perturbed twins flagged, novel vector passes; zero-norm dropped") {
+    val emb = Tables.embeddings(spark, sf)
+    StreamingSemanticGate.stageCorpusVectors(
+      spark, emb.where(col("vec_id") >= 10), table, buckets)
+    try {
+      val base = emb.where(col("vec_id") === 42)
+        .select(col("embedding").cast("array<double>"))
+        .as[Seq[Double]].collect().head
+      val twin = base                       // cos ~1 with corpus vec 42
+      val near = base.map(_ * 1.01 + 1e-4)  // tiny scale+shift: still ~1
+      // alternating-sign unit pattern: decorrelated from real data
+      val novel = Seq.tabulate(base.length)(d => if (d % 2 == 0) 1.0 else -1.0)
+      val zero = Seq.fill(base.length)(0.0)
+
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val q = StreamingSemanticGate.semanticMatches(
+          mem.toDF().toDF("vec_id", "embedding"), spark, table, minCos = 0.8)
+        .writeStream.format("memory").queryName("sg_sem_matches")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, twin), (2L, near), (3L, novel), (4L, zero))
+        q.processAllAvailable()
+        val out = spark.table("sg_sem_matches")
+          .select("new_id", "corpus_id", "cos_q8")
+          .as[(Long, Long, Double)].collect()
+        val byNew = out.groupBy(_._1)
+        assert(byNew.contains(1L) && byNew(1L).exists(m => m._2 == 42L && m._3 > 0.999),
+          s"exact twin must match corpus 42 at cos ~1: ${out.mkString(",")}")
+        assert(byNew.contains(2L) && byNew(2L).exists(_._2 == 42L),
+          s"perturbed twin must still match corpus 42: ${out.mkString(",")}")
+        assert(!byNew.contains(3L), s"novel vector must pass: ${out.mkString(",")}")
+        assert(!byNew.contains(4L), "zero-norm vector must be dropped, not divided by")
+
+        // stateful pair dedup: replaying the twin must not re-emit
+        val before = spark.table("sg_sem_matches").count()
+        mem.addData((1L, twin))
+        q.processAllAvailable()
+        assert(spark.table("sg_sem_matches").count() == before,
+          "recurring pair re-emitted despite stateful dedup")
+      } finally q.stop()
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}
