@@ -18,9 +18,13 @@ import graft.operators.EmbeddingOps
   * The 100 TB layout mirrors [[StreamingDedup.stageCorpusBands]]:
   *
   *   - ONE-TIME corpus staging ([[stageCorpusVectors]]): every corpus
-  *     vector is int8-quantized (`graft.functions.VecQ8` — 4–8× the
-  *     bytes of the float corpus saved at rest AND per probe read),
-  *     its quantized norm precomputed, its sign-LSH bucket id
+  *     vector is int8-quantized (`graft.functions.VecQ8`; measured at
+  *     dim 64 on parquet the staged table is 3.4× smaller at rest
+  *     than the float corpus even carrying ids+norms+buckets —
+  *     parquet dictionary-encodes the 255-value codes, random floats
+  *     don't compress — and the in-memory/shuffle form is 4× narrower
+  *     per component; SemanticGateProbe is the measurement), its
+  *     quantized norm precomputed, its sign-LSH bucket id
   *     assigned (same planes as q26/q27), and the table written
   *     BUCKETED AND SORTED on the bucket id.
   *   - PER MICRO-BATCH probe ([[semanticMatches]]): the batch side
@@ -48,14 +52,16 @@ import graft.operators.EmbeddingOps
   * distinct on a batch frame. */
 object StreamingSemanticGate {
 
-  /** Quantized columns for one side: `__qd` (int8 codes as
-    * array<double> — exact, see q82), `__qn` (quantized norm),
-    * `__bkt` (sign-LSH bucket). All three are per-row codegen over
-    * the vector — legal in any streaming projection, zero shuffle. */
+  /** Quantized columns for one side: `__q` (raw int8 codes —
+    * array<int>, the at-rest form), `__qd` (the same codes as
+    * array<double> for the codegen dot — exact, see q82), `__qn`
+    * (quantized norm), `__bkt` (sign-LSH bucket). All per-row codegen
+    * over the vector — legal in any streaming projection, zero
+    * shuffle. */
   private def withQuantized(df: DataFrame, vecCol: String,
                             planes: Int): DataFrame =
-    df.withColumn("__qd",
-        vec_q8(col(vecCol).cast("array<double>")).cast("array<double>"))
+    df.withColumn("__q", vec_q8(col(vecCol).cast("array<double>")))
+      .withColumn("__qd", col("__q").cast("array<double>"))
       .withColumn("__qn", sqrt(dot_product(col("__qd"), col("__qd"))))
       .withColumn("__bkt", EmbeddingOps.signBucket(col(vecCol).cast("array<double>"), planes))
       // a zero/empty/null vector has no direction: it cannot be a
@@ -63,10 +69,16 @@ object StreamingSemanticGate {
       // would put a division by zero into the cosine
       .where(col("__qn") > 0)
 
-  /** ONE-TIME corpus-side layout: `(cbkt, corpus_id, __cqd, __cqn)`
-    * bucketed+sorted on the sign-LSH bucket. Returns the staged data
-    * file count — the baseline for a [[CompactionDial]] if the gate
-    * absorbs admitted vectors the [[StreamingDedup]] way.
+  /** ONE-TIME corpus-side layout: `(cbkt, corpus_id, __cq, __cqn)`
+    * bucketed+sorted on the sign-LSH bucket. The codes column `__cq`
+    * is stored as the RAW int array (values in [-127, 127] —
+    * parquet's dictionary/bit-pack encodings shrink these to ~1
+    * byte/component where the float corpus pays 4), so the byte cut
+    * is realized AT REST and on every probe read; the probe casts the
+    * read codes to array<double> in codegen (exact — see VecQ8's
+    * integer-dot note). Returns the staged data file count — the
+    * baseline for a [[CompactionDial]] if the gate absorbs admitted
+    * vectors the [[StreamingDedup]] way.
     *
     * @param corpus frame with `idCol` and `vecCol` (array<float> or
     *               array<double>) */
@@ -76,7 +88,15 @@ object StreamingSemanticGate {
                          planes: Int = EmbeddingOps.numPlanes): Int = {
     withQuantized(corpus.select(col(idCol), col(vecCol)), vecCol, planes)
       .select(col("__bkt").as("cbkt"), col(idCol).as("corpus_id"),
-        col("__qd").as("__cqd"), col("__qn").as("__cqn"))
+        col("__q").as("__cq"), col("__qn").as("__cqn"))
+      // one writer per bucket: without this the bucketed write runs at
+      // the source's task width and lands ~tasks × buckets files (the
+      // probe measured 764 tiny files for a 20k-vector corpus, and
+      // per-file open cost dominated every probe batch). The source
+      // here is a fresh computation — not an already-bucketed scan —
+      // so EnsureRequirements keeps this exchange (the PERF §49
+      // elision needs the scan to CLAIM the partitioning).
+      .repartition(buckets, col("cbkt"))
       .write.mode("overwrite")
       .bucketBy(buckets, "cbkt").sortBy("cbkt")
       .format("parquet").saveAsTable(table)
@@ -96,7 +116,8 @@ object StreamingSemanticGate {
       .select(col(idCol).as("new_id"), col("__qd"), col("__qn"), col("__bkt"))
       .join(spark.table(table), col("__bkt") === col("cbkt"))
       .withColumn("cos_q8",
-        dot_product(col("__qd"), col("__cqd")) / (col("__qn") * col("__cqn")))
+        dot_product(col("__qd"), col("__cq").cast("array<double>")) /
+          (col("__qn") * col("__cqn")))
       .where(col("cos_q8") >= minCos)
       .select("new_id", "corpus_id", "cos_q8")
       .dropDuplicates("new_id", "corpus_id")

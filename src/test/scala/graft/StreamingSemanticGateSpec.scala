@@ -39,7 +39,10 @@ class StreamingSemanticGateSpec extends SparkSpec {
     val staged = StreamingSemanticGate.stageCorpusVectors(
       spark, corpus, table, buckets)
     try {
-      assert(staged > 0)
+      // one writer per bucket: the stage's repartition must land at
+      // most `buckets` files (764 tiny files without it — probe-measured)
+      assert(staged > 0 && staged <= buckets,
+        s"stage must land <= $buckets files, got $staged")
       val got = StreamingSemanticGate.semanticMatches(batch, spark, table)
         .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
 
