@@ -121,4 +121,46 @@ object StreamingSemanticGate {
       .where(col("cos_q8") >= minCos)
       .select("new_id", "corpus_id", "cos_q8")
       .dropDuplicates("new_id", "corpus_id")
+
+  /** ABSORB admitted vectors into the staged corpus (the
+    * [[StreamingDedup]] absorbing-gate pattern at the embedding
+    * level): quantize+bucket the admitted frame the staging way and
+    * APPEND it — bucketBy keeps the layout, so the very next
+    * [[semanticMatches]] probe sees the new vectors without any
+    * restage, still corpus-exchange-free. The append repartitions on
+    * the bucket key first (one writer per touched bucket, ≤ `buckets`
+    * files per absorb instead of tasks × buckets — the §57 geometry).
+    * Returns the number of vectors absorbed.
+    *
+    * File growth is ~buckets files per absorb: long-running loops
+    * hold a [[compactionDial]] and call `maybeCompact` after each
+    * absorb, exactly like the band-posting gate. */
+  def absorb(spark: SparkSession, admitted: DataFrame, table: String,
+             buckets: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             planes: Int = EmbeddingOps.numPlanes): Long = {
+    val rows = withQuantized(admitted.select(col(idCol), col(vecCol)), vecCol, planes)
+      .select(col("__bkt").as("cbkt"), col(idCol).as("corpus_id"),
+        col("__q").as("__cq"), col("__qn").as("__cqn"))
+      .repartition(buckets, col("cbkt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = rows.count() // one quantize pass, shared with the write
+      rows.write.mode("append")
+        .bucketBy(buckets, "cbkt").sortBy("cbkt")
+        .format("parquet").saveAsTable(table)
+      n
+    } finally { rows.unpersist(): Unit }
+  }
+
+  /** Floor-keyed compaction dial for the quantized-vector corpus
+    * table — [[graft.streaming.CompactionDial]] on the `cbkt` bucket
+    * column, same guards (pre-count-keyed effectiveness check,
+    * disarm-after-storm, crash recovery on entry).
+    *
+    * @param baselineFiles the count [[stageCorpusVectors]] returned */
+  def compactionDial(table: String, baselineFiles: Int,
+                     filesFactor: Double = 2.0,
+                     buckets: Int = 64): CompactionDial =
+    new CompactionDial(table, baselineFiles, filesFactor, buckets, "cbkt")
 }

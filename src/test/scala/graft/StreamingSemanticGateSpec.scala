@@ -84,6 +84,44 @@ class StreamingSemanticGateSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("absorbing gate: admitted vectors are probe-visible, dial compacts to <= buckets, parity survives") {
+    val emb = Tables.embeddings(spark, sf)
+    val staged = StreamingSemanticGate.stageCorpusVectors(
+      spark, emb.where(col("vec_id") >= 10), table, buckets)
+    try {
+      // a twin of vector 7 matches NOTHING yet (7 is not in the corpus)
+      def probeTwin(of: Long, asId: Long): Set[Long] =
+        StreamingSemanticGate.semanticMatches(
+            emb.where(col("vec_id") === of)
+              .select(lit(asId).as("vec_id"), col("embedding")),
+            spark, table, minCos = 0.8)
+          .select("corpus_id").as[Long].collect().toSet
+      assert(probeTwin(of = 7L, asId = 500001L).isEmpty,
+        "twin of an unabsorbed vector must not match")
+      // absorb vectors 0-9; the SAME probe now flags the twin against
+      // the absorbed copy — the absorbing property
+      val absorbed = StreamingSemanticGate.absorb(
+        spark, emb.where(col("vec_id") < 10), table, buckets)
+      assert(absorbed == 10L, s"expected 10 vectors absorbed, got $absorbed")
+      assert(probeTwin(of = 7L, asId = 500002L).contains(7L),
+        "twin of an absorbed vector must match it")
+      // growth + floor-keyed compaction through the shared dial
+      val grown = graft.streaming.StreamingDedup.postingFileCount(spark, table)
+      assert(grown > staged, "absorb must append files")
+      val dial = StreamingSemanticGate.compactionDial(table, staged,
+        filesFactor = 1.0, buckets)
+      assert(dial.maybeCompact(spark), "dial must fire on the grown table")
+      val landed = graft.streaming.StreamingDedup.postingFileCount(spark, table)
+      assert(landed <= buckets, s"rewrite must land <= $buckets files, got $landed")
+      assert(dial.rejectedLandings == 0 && !dial.disarmed)
+      assert(!spark.catalog.tableExists(s"${table}__compacting") &&
+        !spark.catalog.tableExists(s"${table}__old"))
+      // parity: the absorbed twin still matches after the rewrite
+      assert(probeTwin(of = 7L, asId = 500003L).contains(7L),
+        "compaction must preserve the absorbed corpus")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("stream drive: exact and perturbed twins flagged, novel vector passes; zero-norm dropped") {
     val emb = Tables.embeddings(spark, sf)
     StreamingSemanticGate.stageCorpusVectors(
