@@ -446,7 +446,14 @@ object Bench {
       val runId = java.time.format.DateTimeFormatter
         .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
         .format(java.time.Instant.now())
-      val sfTag = sfDir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9._-]", "_")
+      // a SPARK_GRAFT_QUERIES-filtered run's "total" covers only the
+      // selected queries — tagging it like a full run would let it
+      // compete in BenchPointer's newest-N window against full-suite
+      // totals (two q67-only probes nearly did exactly that to the
+      // r19 100× pointer); the -partial suffix keeps it out of every
+      // exact-suffix tag match while still appending to history
+      val sfTag = sfDir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9._-]", "_") +
+        (if (only.isDefined) "-partial" else "")
       val histDir = out.getParent.resolve("history")
       java.nio.file.Files.createDirectories(histDir)
       val bytes = (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -236,5 +236,11 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(!matchesTag("bench_20260815T055621_sf0.1.json", "sf0"))
     assert(matchesTag("bench_20260815T055621_sf0.1.json", "sf0.1"))
     assert(!matchesTag("notbench_20260815_scale10.json", "scale10"))
+    // a SPARK_GRAFT_QUERIES-filtered run (history-tagged -partial by
+    // Bench) must never enter a full-suite pointer window: its
+    // "total" covers only the selected queries (two q67-only probes
+    // nearly won the r19 100x pointer with a 6.8 s "total")
+    assert(!matchesTag("bench_20260815T204640_scale100-partial.json", "scale100"))
+    assert(matchesTag("bench_20260815T204640_scale100-partial.json", "scale100-partial"))
   }
 }
