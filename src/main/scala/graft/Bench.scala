@@ -231,7 +231,15 @@ object Bench {
         }.foreach(_.get())
         finally pool.shutdown()
       }
-    } catch { case _: Throwable => () } // warm is best-effort, never fatal
+    } catch {
+      // warm is best-effort, never fatal — but only for NON-fatal
+      // failures: an interrupt must reach the driver (flag restored;
+      // pool futures surface it via ExecutionException → NonFatal),
+      // and OOM/fatal errors must propagate, not read as "warmed"
+      // (ADVICE r19)
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
     ((System.nanoTime() - t0) / 1e9, readBytes.get())
   }
 

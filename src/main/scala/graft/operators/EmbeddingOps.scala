@@ -102,12 +102,49 @@ object EmbeddingOps {
     * ([[graft.streaming.StreamingSemanticGate]]) can bucket a
     * micro-batch with ZERO shuffle and land in the corpus table's
     * bucket space. */
-  private[graft] def signBucket(v: Column, planes: Int = numPlanes): Column = {
+  private[graft] def signBucket(v: Column, planes: Int = numPlanes): Column =
+    signBucket(v, planes, 0)
+
+  /** Sign bucket from the `setIdx`-th INDEPENDENT plane set — set s
+    * draws its `planes` hyperplanes from the same deterministic family
+    * at offsets [s·planes, (s+1)·planes), so set 0 is exactly the
+    * q26/q27 bucket space and each further set is an independent
+    * partitioning of the sphere. Unioning candidates across sets is
+    * the classic LSH recall amplifier (a true neighbor split from its
+    * query by ONE near-zero projection in set 0 almost surely shares a
+    * bucket in some other set) — the remedy the semantic gate's
+    * nprobe=1 contract names; [[graft.streaming.StreamingSemanticGate]]
+    * exposes it as `planeSets`. */
+  private[graft] def signBucket(v: Column, planes: Int, setIdx: Int): Column = {
     require(planes > 0 && planes < 31, s"planes must be in [1, 30], got $planes")
+    require(setIdx >= 0, s"setIdx must be >= 0, got $setIdx")
     (0 until planes)
-      .map(p => when(dotC(lit(planeVec(p)), v) > 0, lit(1 << p)).otherwise(lit(0)))
+      .map(p => when(dotC(lit(planeVecSet(setIdx, planes, p)), v) > 0, lit(1 << p)).otherwise(lit(0)))
       .reduce(_ + _)
   }
+
+  /** Hyperplane p of plane set `setIdx`. Set 0 is the LEGACY q26
+    * family (oracle-pinned; every staged planeSets=1 layout and the
+    * q26/q27/q28 oracles depend on it bit-for-bit). Sets ≥ 1 draw
+    * from a HASHED family instead: the legacy formula's sign depends
+    * only on `(d·13 + p·7) mod 5`, i.e. on p mod 5 — the whole family
+    * contains just FIVE distinct hyperplanes, so "offset by 8" would
+    * hand back the same partition of the sphere and a second set
+    * would recover nothing (measured: 0 set-1-only recoveries over
+    * 190 perturbed twins). The hashed family mixes (set, plane, dim)
+    * through two avalanche rounds, giving each further set
+    * independent signs per dimension. */
+  private def planeVecSet(setIdx: Int, planes: Int, p: Int): Array[Double] =
+    if (setIdx == 0) planeVec(p)
+    else {
+      val gp = setIdx * planes + p
+      Array.tabulate(dim) { d =>
+        var h = d * 1103515245 + gp * 747796405 + 0x9e3779b9
+        h = (h ^ (h >>> 15)) * 0x85ebca6b
+        h = h ^ (h >>> 13)
+        if ((h & 1) == 0) 1.0 else -1.0
+      }
+    }
 
   private def lshBucketsFrom(vecs: DataFrame, planes: Int = numPlanes): DataFrame = {
     require(planes > 0 && planes < 31, s"planes must be in [1, 30], got $planes")
@@ -583,6 +620,12 @@ object EmbeddingOps {
       .withColumn("qd",
         graft.functions.VecQuant.vec_q8(col("v")).cast("array<double>"))
       .withColumn("qn", sqrt(dotC(col("qd"), col("qd"))))
+      // a zero-norm (all-zero) vector has no direction: its cosine is
+      // 0/0 = NaN, which Spark's DESC sort ranks ABOVE every real
+      // score while DuckDB ranks it differently — the same guard the
+      // streaming gate applies (StreamingSemanticGate.withQuantized),
+      // mirrored in the oracle SQL (ADVICE r19)
+      .where(col("qn") > 0)
       .select("vec_id", "qd", "qn")
     val qs = vs.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("qd").as("qqd"), col("qn").as("qqn"))
@@ -601,11 +644,12 @@ object EmbeddingOps {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
        |qz AS (SELECT vec_id,
-       |  CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+       |  CASE WHEN mx = 0 THEN list_transform(v, x -> CASE WHEN x IS NULL THEN NULL ELSE 0 END)
        |       ELSE list_transform(v, x -> CAST(floor(x / mx * 127.0 + 0.5) AS INT)) END AS q
        |  FROM m),
-       |n AS (SELECT vec_id, CAST(q AS DOUBLE[]) AS qd,
+       |n0 AS (SELECT vec_id, CAST(q AS DOUBLE[]) AS qd,
        |  sqrt(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))) AS qn FROM qz),
+       |n AS (SELECT vec_id, qd, qn FROM n0 WHERE qn > 0),
        |qs AS (SELECT vec_id AS query_id, qd AS qqd, qn AS qqn FROM n WHERE vec_id < $numQueries),
        |sims AS (SELECT qs.query_id, n.vec_id,
        |  round(list_dot_product(qs.qqd, n.qd) / (qs.qqn * n.qn), 6) AS cos_q8

@@ -265,10 +265,29 @@ final class CompactionDial private[streaming] (
   /** True once [[CompactionDial.MaxConsecutiveRejections]] consecutive
     * landings were rejected: [[maybeCompact]] becomes a no-op rather
     * than a per-batch full-table rewrite storm. A disarmed dial is a
-    * page-the-operator condition, not a recoverable state — the
-    * rewrite itself is defective for this table. */
+    * page-the-operator condition — the rewrite is presumed defective
+    * for this table — but the CAUSE can be transient (e.g. a
+    * concurrent absorb racing appends between the rewrite and the
+    * landing measurement inflates the measured landing; the dial's
+    * single-owner contract forbids that, but an operator who finds
+    * and fixes such a violation needs a path back). [[rearm]] is that
+    * path: an explicit operator action, never automatic — three
+    * rewrites that each failed to shrink the table must not quietly
+    * resume on a timer (ADVICE r19). */
   def disarmed: Boolean =
     consecutiveRejected >= CompactionDial.MaxConsecutiveRejections
+
+  /** Re-arm a [[disarmed]] dial after the operator has addressed the
+    * cause of the rejected landings (layout defect fixed, racing
+    * writer removed). Resets the consecutive-rejection counter —
+    * `rejectedLandings` (the lifetime total) keeps counting — and
+    * the next [[maybeCompact]] fires normally. No-op when armed. */
+  def rearm(reason: String): Unit =
+    if (disarmed) {
+      log.warn(s"$table: dial RE-ARMED after $consecutiveRejected " +
+        s"consecutive rejected landings — operator reason: $reason")
+      consecutiveRejected = 0
+    }
 
   /** Compact when the table's file count exceeds [[threshold]]; on a
     * compaction, measure the landing and [[rekey]]. Recovers a

