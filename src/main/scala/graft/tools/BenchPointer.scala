@@ -35,13 +35,25 @@ object BenchPointer {
     * permanently demoted it behind any newer run). */
   private[graft] final case class Run(path: java.nio.file.Path, name: String,
       valid: Boolean, calibMax: Double, load5Boot: Double, totalSec: Double,
-      warned: Option[Boolean])
+      warned: Option[Boolean], queries: Map[String, Double])
 
   private def field(json: String, key: String): Option[String] = {
     val m = ("\"" + java.util.regex.Pattern.quote(key) +
       "\":(\"[^\"]*\"|true|false|[-0-9.eE]+)").r.findFirstMatchIn(json)
     m.map(_.group(1).stripPrefix("\"").stripSuffix("\""))
   }
+
+  /** The per-query medians map. The `[{,]` anchor keeps the regex off
+    * `"unstaged_queries"` (whose key CONTAINS `"queries"` as a bare
+    * substring but is never preceded by a JSON delimiter + quote). */
+  private[graft] def queriesOf(json: String): Map[String, Double] =
+    """[{,]"queries":\{([^}]*)\}""".r.findFirstMatchIn(json) match {
+      case None => Map.empty
+      case Some(m) =>
+        """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(m.group(1))
+          .flatMap(kv => kv.group(2).toDoubleOption.map(kv.group(1) -> _))
+          .toMap
+    }
 
   /** Warning classification from the FIRST `"warnings":` key (Bench
     * writes exactly one, in guardJson, before the free-text errors
@@ -60,7 +72,7 @@ object BenchPointer {
     } yield Run(path, path.getFileName.toString, valid, math.max(cs, ce),
       field(json, "loadavg_boot").map(graft.Bench.load5)
         .getOrElse(Double.NaN), total,
-      warnedOf(json))
+      warnedOf(json), queriesOf(json))
 
   /** Exact-suffix tag match: history files are `bench_<ts>_<tag>.json`,
     * and a substring test lets `scale10` swallow `scale100` runs — the
@@ -80,17 +92,51 @@ object BenchPointer {
     case Some(true)  => 2
   }
 
+  /** Per-query outlier demotion (VERDICT r19 #2): the r19 100× pointer
+    * carried a 19.1 s q60_containment — with a TIGHT rep spread, so
+    * the in-run spread field can't flag it — while six same-day
+    * same-code siblings read 2.1–2.9 s, because the rule ranked on
+    * warnings/calib/load only and that run's probes were the
+    * quietest. The cross-run check the field was built for: a run is
+    * OUTLIER-demoted when any of its per-query medians exceeds BOTH
+    * [[OutlierRatio]]× the median of its siblings' values for that
+    * query AND the sibling median + [[OutlierFloorSec]] (the absolute
+    * floor keeps 0.1 s-class jitter from demoting anything). Returns
+    * the worst offender as (query, value, sibling median), None when
+    * clean or when fewer than two siblings carry the query (one
+    * sibling is an anecdote, not a distribution). */
+  val OutlierRatio = 3.0
+  val OutlierFloorSec = 1.0
+  private def medianOf(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+  private[graft] def outlierOf(r: Run, siblings: Seq[Run]): Option[(String, Double, Double)] =
+    r.queries.toSeq.flatMap { case (q, v) =>
+      val sib = siblings.filter(_.name != r.name).flatMap(_.queries.get(q)).filter(_ >= 0)
+      if (sib.size < 2) None
+      else {
+        val m = medianOf(sib)
+        if (v > OutlierRatio * m && v > m + OutlierFloorSec) Some((q, v, m)) else None
+      }
+    }.sortBy { case (_, v, m) => -(v / math.max(m, 1e-9)) }.headOption
+
   /** The quietest valid run among `runs` (newest-N window already
-    * applied by the caller): [[warnRank]], then lowest calibMax,
-    * tiebreak lowest boot 5-min load (NaN sorts last). */
-  private[graft] def pick(runs: Seq[Run]): Option[Run] =
-    runs.filter(_.valid).sortBy(r =>
-      (warnRank(r.warned), r.calibMax,
+    * applied by the caller): [[warnRank]], then outlier-free before
+    * outlier-demoted ([[outlierOf]] against the window's valid
+    * siblings), then lowest calibMax, tiebreak lowest boot 5-min load
+    * (NaN sorts last). */
+  private[graft] def pick(runs: Seq[Run]): Option[Run] = {
+    val valid = runs.filter(_.valid)
+    valid.sortBy(r =>
+      (warnRank(r.warned), if (outlierOf(r, valid).isDefined) 1 else 0, r.calibMax,
         if (r.load5Boot.isNaN) Double.MaxValue else r.load5Boot))
       .headOption
+  }
 
   private[graft] val rule: String =
     "quietest-valid-of-newest-N: unwarned-first (unknown between), " +
+      "then no-per-query-outlier-vs-sibling-medians (>3x and >+1s), " +
       "then min max(calib_start,calib_end), then min boot load5"
 
   /** The pointer file's contents: the winning history artifact with a
@@ -128,10 +174,14 @@ object BenchPointer {
           java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8))
       }.toSeq
+    val validCands = candidates.filter(_.valid)
     candidates.foreach { r =>
       val w = r.warned.map(_.toString).getOrElse("UNKNOWN (no warnings field)")
+      val o = outlierOf(r, validCands)
+        .map { case (q, v, m) => f" OUTLIER($q $v%.2f s vs sibling median $m%.2f s)" }
+        .getOrElse("")
       println(f"[pointer] candidate ${r.name} valid=${r.valid} warned=$w " +
-        f"calibMax=${r.calibMax}%.3f load5Boot=${r.load5Boot}%.2f total=${r.totalSec}%.1f s")
+        f"calibMax=${r.calibMax}%.3f load5Boot=${r.load5Boot}%.2f total=${r.totalSec}%.1f s$o")
     }
     pick(candidates) match {
       case None =>

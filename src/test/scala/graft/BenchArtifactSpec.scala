@@ -198,6 +198,66 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(BenchPointer.pick(Seq(legacyRun, cleanRun)).get.name == cleanRun.name)
   }
 
+  test("BenchPointer demotes a per-query outlier vs sibling medians (VERDICT r19 #2)") {
+    import graft.tools.BenchPointer
+    // the r19 run-4 shape: the quietest-probes run of the window reads
+    // q60_containment at 19.1 s with a TIGHT rep spread while three
+    // same-code siblings read 2.1-2.9 s — warnings/calib/load can't
+    // see it (that run's probes were the cleanest), only the
+    // cross-run per-query compare can
+    def art(cs: Double, q60: Double, q01: Double) =
+      s"""{"metric":"total","value":200.0,"valid":true,""" +
+        s""""queries":{"q01_pricing_summary":$q01,"q60_containment":$q60,"stage_dedup":60.0},""" +
+        s""""unstaged_queries":{"q60_containment":99.9},""" +
+        s""""calib_start_sec":$cs,"calib_end_sec":$cs,"warnings":{},""" +
+        s""""loadavg_boot":"1.00 0.50 1.00 1/1 1"}"""
+    val dir = java.nio.file.Files.createTempDirectory("ptr4")
+    def run(name: String, json: String) = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+      BenchPointer.parse(p, json).get
+    }
+    val sib1 = run("bench_20260815T0001_x.json", art(cs = 0.20, q60 = 2.11, q01 = 0.68))
+    val sib2 = run("bench_20260815T0002_x.json", art(cs = 0.22, q60 = 2.88, q01 = 0.70))
+    val sib3 = run("bench_20260815T0003_x.json", art(cs = 0.21, q60 = 2.34, q01 = 0.66))
+    val outlier = run("bench_20260815T0004_x.json", art(cs = 0.05, q60 = 19.12, q01 = 3.06))
+    // the unstaged_queries map must not leak into the per-query parse
+    assert(!sib1.queries.contains("unstaged_queries") && sib1.queries("q60_containment") == 2.11)
+    val all = Seq(sib1, sib2, sib3, outlier)
+    val o = BenchPointer.outlierOf(outlier, all)
+    assert(o.exists(_._1 == "q60_containment"),
+      s"q60 at 8.6x the sibling median must flag as the worst offender: $o")
+    assert(BenchPointer.outlierOf(sib1, all).isEmpty,
+      "an in-band run must not flag")
+    // despite the best calib of the window, the outlier run loses;
+    // the clean siblings then rank by calib as before (sib1 at 0.20)
+    assert(BenchPointer.pick(all).get.name == sib1.name,
+      "outlier demotion must outrank the calib tier")
+    // sub-ratio and sub-floor deltas never demote: 0.1 s-class jitter
+    val jitterA = run("bench_20260815T0005_x.json",
+      """{"value":1.0,"valid":true,"queries":{"q05_sort_limit":0.35},""" +
+        """"calib_start_sec":0.2,"calib_end_sec":0.2,"warnings":{},""" +
+        """"loadavg_boot":"1.00 0.50 1.00 1/1 1"}""")
+    val jitterSibs = Seq(
+      run("bench_20260815T0006_x.json",
+        """{"value":1.0,"valid":true,"queries":{"q05_sort_limit":0.10},""" +
+          """"calib_start_sec":0.2,"calib_end_sec":0.2,"warnings":{},""" +
+          """"loadavg_boot":"1.00 0.50 1.00 1/1 1"}"""),
+      run("bench_20260815T0007_x.json",
+        """{"value":1.0,"valid":true,"queries":{"q05_sort_limit":0.11},""" +
+          """"calib_start_sec":0.2,"calib_end_sec":0.2,"warnings":{},""" +
+          """"loadavg_boot":"1.00 0.50 1.00 1/1 1"}"""))
+    assert(BenchPointer.outlierOf(jitterA, jitterA +: jitterSibs).isEmpty,
+      "3.5x on a 0.1 s query is under the absolute floor — not an outlier")
+    // one sibling is an anecdote: no demotion without >= 2 carriers
+    assert(BenchPointer.outlierOf(outlier, Seq(outlier, sib1)).isEmpty)
+    // legacy artifact without a queries map neither flags nor crashes
+    val legacy = run("bench_20260815T0008_x.json",
+      """{"value":1.0,"valid":true,"calib_start_sec":0.2,"calib_end_sec":0.2,""" +
+        """"warnings":{},"loadavg_boot":"1.00 0.50 1.00 1/1 1"}""")
+    assert(legacy.queries.isEmpty && BenchPointer.outlierOf(legacy, all).isEmpty)
+  }
+
   test("BenchPointer stamps its source history file into the pointer (VERDICT r16 #2)") {
     import graft.tools.BenchPointer
     val hist = """{"metric":"total","value":82.1,"valid":true,"warnings":{}}"""
