@@ -362,6 +362,10 @@ object Bench {
     // repeat would measure a no-op), then every query runs
     val stageDir = java.nio.file.Files.createTempDirectory("graft_bench_stage").toString
     val anyStaged = stagedNames.exists(selected)
+    // per-chain walls from inside the concurrent staging DAG — landed
+    // in the artifact as `stage_chains` so a stage_dedup drift
+    // attributes to a chain after the fact (VERDICT r19 #4)
+    var stageChains: Map[String, Double] = Map.empty
     val results = graft.operators.DedupOps.withStagingRoot(Some(stageDir)) {
       val t0 = System.nanoTime()
       // both minhash presets + simhash + the IVF model; the chains
@@ -370,7 +374,7 @@ object Bench {
       // a filtered run shouldn't pay (or report) 30 s of staging it
       // never reads.
       if (anyStaged)
-        try graft.operators.DedupOps.stageAll(spark, sfDir)
+        try stageChains = graft.operators.DedupOps.stageAll(spark, sfDir)
         catch { case e: Throwable => errors("stage_dedup") = e.toString.take(160) }
       val stageSecs = (System.nanoTime() - t0) / 1e9
       val timed = SparkEntry.queries.toSeq.filter(kv => selected(kv._1)).sortBy(_._1)
@@ -435,8 +439,10 @@ object Bench {
     val spreadJson = spreads.toSeq
       .map { case (k, v) => "\"" + k + "\":[" + v.map(f4).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    val chainsJson = toJson(
+      stageChains.toSeq.sortBy(-_._2), v => f4(v))
     val full = line(_.toString,
-      s""","unstaged_queries":${toJson(unstaged, _.toString)},"query_spread":$spreadJson""")
+      s""","unstaged_queries":${toJson(unstaged, _.toString)},"query_spread":$spreadJson,"stage_chains":$chainsJson""")
     val out = java.nio.file.Paths.get("bench", "bench_full_latest.json")
     try {
       java.nio.file.Files.createDirectories(out.getParent)

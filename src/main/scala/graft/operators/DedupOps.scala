@@ -140,12 +140,23 @@ object DedupOps {
     * overlapping the chains hides per-job fixed cost (scheduling,
     * codegen, parquet commit) behind each other (wall A/B: PERF §34).
     * Exceptions from any chain propagate (no partial-success silence);
-    * staging off ⇒ no-op. */
+    * staging off ⇒ no-op.
+    *
+    * Returns the per-chain wall seconds (empty when staging is off) —
+    * the chains run as CONCURRENT jobs, so the caller's total says
+    * nothing about which chain dominates; Bench lands this map in the
+    * artifact as `stage_chains` so a stage_dedup drift attributes to
+    * a chain in minutes instead of a day of probe runs (VERDICT r19
+    * #4: the r16→r19 53→66 s elevation was attributed on the evidence
+    * of ONE chain's probe because the others had no recorded walls).
+    * A chain's wall includes dir-lock waits on its dependencies (the
+    * DAG bills waiting to the waiter, as the stderr lines always
+    * have). */
   def stageAll(spark: SparkSession, sfDir: String,
                presets: Seq[MinHashParams] = Seq(defaultParams, scaleParams),
-               ivf: Boolean = true): Unit =
+               ivf: Boolean = true): Map[String, Double] =
     stagingRoot match {
-      case None => ()
+      case None => Map.empty
       case someRoot =>
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
@@ -238,6 +249,8 @@ object DedupOps {
              else Nil)
           pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
           implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          val chainWalls =
+            new java.util.concurrent.ConcurrentHashMap[String, Double]()
           // Staging's root override is thread-local; re-pin it (and a
           // distinguishable job group) inside each worker thread
           def chain(tag: String)(body: => Unit): Future[Unit] = Future {
@@ -258,17 +271,22 @@ object DedupOps {
               try body finally {
                 spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
                 spark.sparkContext.clearJobGroup()
-                // per-chain wall seconds to stderr: chains run as
-                // concurrent jobs, so the bench's stage_dedup total says
-                // nothing about WHICH chain dominates at a given SF
-                System.err.println(
-                  f"[stage] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+                // per-chain wall seconds, to stderr AND the returned
+                // map (Bench's `stage_chains` artifact field): chains
+                // run as concurrent jobs, so the bench's stage_dedup
+                // total says nothing about WHICH chain dominates
+                val wall = (System.nanoTime() - t0) / 1e9
+                chainWalls.put(tag, wall): Unit
+                System.err.println(f"[stage] $tag $wall%.2f s")
               }
             } }
           }
           val chains = work.map { case (tag, body) => chain(tag)(body()) }
-          try Await.result(Future.sequence(chains), Duration.Inf): Unit
-          catch {
+          try {
+            Await.result(Future.sequence(chains), Duration.Inf): Unit
+            import scala.jdk.CollectionConverters._
+            chainWalls.asScala.toMap
+          } catch {
             case t: Throwable =>
               // Future.sequence fails FAST: the other chains are still
               // running when the first failure surfaces. The enclosing
