@@ -186,6 +186,10 @@ object SparkEntry {
     "q81_dedup_span_ranges" -> CorpusOps.dedupSpanRanges _,
     // similarity: int8-quantized cosine top-k (compressed-corpus path)
     "q82_quantized_ann" -> EmbeddingOps.quantizedCosineTopK _,
+    // similarity: bucketed + IVF ANN probes over the STAGED int8
+    // corpus (q27/q33's plans reading ~4x narrower codes at rest)
+    "q83_quantized_bucketed_ann" -> EmbeddingOps.quantizedAnnBucketed _,
+    "q84_quantized_ivf_ann" -> EmbeddingOps.quantizedIvfAnn _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -273,5 +277,7 @@ object SparkEntry {
     "q80_repeated_spans" -> CorpusOps.repeatedSpansSql,
     "q81_dedup_span_ranges" -> CorpusOps.dedupSpanRangesSql,
     "q82_quantized_ann" -> EmbeddingOps.quantizedCosineTopKSql,
+    "q83_quantized_bucketed_ann" -> EmbeddingOps.quantizedAnnBucketedSql,
+    "q84_quantized_ivf_ann" -> EmbeddingOps.quantizedIvfAnnSql,
   )
 }

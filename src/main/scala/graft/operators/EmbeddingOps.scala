@@ -334,10 +334,11 @@ object EmbeddingOps {
         ivfAssign(spark, sfDir, cents))
     }
 
-  /** Force-materialize the IVF model tables for `sfDir`; returns the
-    * staged paths (Nil when staging is off). Bench calls this up front
-    * so one-time training cost is attributed separately from query
-    * cost, mirroring DedupOps.stageSignatures. */
+  /** Force-materialize the IVF model tables AND the quantized corpus
+    * for `sfDir`; returns the staged paths (Nil when staging is off).
+    * Bench calls this up front so one-time training cost is
+    * attributed separately from query cost, mirroring
+    * DedupOps.stageSignatures. */
   def stageIvf(spark: SparkSession, sfDir: String,
                k: Int = numCentroids, iters: Int = kmeansIters): Seq[String] =
     Staging.root match {
@@ -345,9 +346,151 @@ object EmbeddingOps {
       case Some(root) =>
         val cents = stagedCentroids(spark, sfDir, k, iters)
         stagedAssignment(spark, sfDir, cents, k, iters)
-        Seq(s"ivf_cent_k${k}_i$iters", s"ivf_assign_k${k}_i$iters")
+        quantizedVectors(spark, sfDir)
+        Seq(s"ivf_cent_k${k}_i$iters", s"ivf_assign_k${k}_i$iters", "emb_q8")
           .map(Staging.tableDir(root, sfDir, _))
     }
+
+  // --------------------------------------- quantized corpus (batch ANN)
+
+  /** The int8 corpus at rest for BATCH ANN (VERDICT r19 #5): q82
+    * proved the quantized arithmetic; this is the staged table that
+    * lets the bucketed/IVF probes (q83/q84) read the ~4× narrower
+    * codes instead of the float vectors. One NARROW pass over the
+    * corpus computes everything a probe needs — int8 codes
+    * (graft.functions.VecQ8), quantized norm, the legacy sign-LSH
+    * bucket (same planes/arithmetic as q26, as a per-row expression —
+    * no join, no shuffle), and the IVF nearest-centroid id (the
+    * trained float model folded in as codegen literals) — so the
+    * float vector column is dropped at the door and never travels
+    * again. Zero-norm vectors are excluded at stage time (no
+    * direction ⇒ NaN cosine; same guard as q82/the streaming gate).
+    * Read-through via [[Staging]]; staging off → recomputed per call
+    * (the oracle path). */
+  private def quantizedVectorsFresh(spark: SparkSession, sfDir: String,
+                                    cents: Seq[(Int, Array[Double])]): DataFrame =
+    vectors(spark, sfDir)
+      .withColumn("cent_id", nearestCentroid(cents))
+      .withColumn("q", graft.functions.VecQuant.vec_q8(col("v")))
+      .withColumn("qd0", col("q").cast("array<double>"))
+      .withColumn("qn", sqrt(dotC(col("qd0"), col("qd0"))))
+      .withColumn("bucket", signBucket(col("v")))
+      .where(col("qn") > 0)
+      .select("vec_id", "q", "qn", "bucket", "cent_id")
+
+  private[graft] def quantizedVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = stagedCentroids(spark, sfDir, numCentroids, kmeansIters)
+    Staging.root match {
+      case None => quantizedVectorsFresh(spark, sfDir, cents)
+      case _ => Staging.readThrough(spark, sfDir, "emb_q8")(
+        quantizedVectorsFresh(spark, sfDir, cents))
+    }
+  }
+
+  /** q83: bucketed ANN over the QUANTIZED corpus — q27's plan shape
+    * (probe only the query's sign-LSH bucket, broadcast the k-row
+    * query side, window top-3 over the bounded candidate set) with
+    * the q82 arithmetic (integer dots exact in double, scale factors
+    * cancelled out of the cosine). The corpus side reads
+    * [[quantizedVectors]]: at 100 TB that is the staged int8 table —
+    * the scan, the (nonexistent) corpus shuffle, and the cache all
+    * shrink ~4× vs q27's float path while bucket membership is
+    * IDENTICAL (buckets come from the float vector at stage time). */
+  def quantizedAnnBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vb = quantizedVectors(spark, sfDir)
+      .withColumn("qd", col("q").cast("array<double>"))
+    val qs = vb.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qd").as("qqd"),
+        col("qn").as("qqn"), col("bucket").as("qbucket"))
+    val sims = vb.join(broadcast(qs),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_q8", round(dotC(col("qqd"), col("qd")) / (col("qqn") * col("qn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_q8").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select("query_id", "rank", "vec_id", "cos_q8")
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB CTEs defining `qq(vec_id, qd, qn)`: the quantized corpus
+    * with zero-norm vectors excluded — the oracle twin of
+    * [[quantizedVectorsFresh]]'s code/norm columns (same VecQ8
+    * half-up arithmetic as the q82 oracle). Expects `e(vec_id, v)`. */
+  private val duckQuantCte: String =
+    s"""qm AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |qz AS (SELECT vec_id,
+       |  CASE WHEN mx = 0 THEN list_transform(v, x -> CASE WHEN x IS NULL THEN NULL ELSE 0 END)
+       |       ELSE list_transform(v, x -> CAST(floor(x / mx * 127.0 + 0.5) AS INT)) END AS q
+       |  FROM qm),
+       |qn0 AS (SELECT vec_id, CAST(q AS DOUBLE[]) AS qd,
+       |  sqrt(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))) AS qn FROM qz),
+       |qq AS (SELECT vec_id, qd, qn FROM qn0 WHERE qn > 0)""".stripMargin
+
+  val quantizedAnnBucketedSql: String =
+    s"""$duckVecCte,
+       |$duckBucketCte,
+       |$duckQuantCte,
+       |vbk AS (SELECT bk.vec_id, bk.bucket, qq.qd, qq.qn
+       |        FROM bk JOIN qq ON bk.vec_id = qq.vec_id),
+       |q AS (SELECT vec_id AS query_id, qd AS qqd, qn AS qqn, bucket AS qbucket
+       |      FROM vbk WHERE vec_id < $numQueries),
+       |sims AS (
+       |  SELECT q.query_id, v.vec_id,
+       |    round(list_dot_product(q.qqd, v.qd) / (q.qqn * v.qn), 6) AS cos_q8
+       |  FROM vbk v JOIN q ON v.bucket = q.qbucket AND v.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_q8,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_q8 DESC, vec_id) AS rank
+       |  FROM sims)
+       |SELECT query_id, rank, vec_id, cos_q8 FROM ranked
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** q84: IVF ANN over the QUANTIZED corpus — q33's inverted-list
+    * probe (train-once float k-means model; nprobe=1) with the
+    * scan/dot side reading [[quantizedVectors]]' staged int8 codes.
+    * Assignment comes from the staged table (computed against the
+    * float vectors at stage time, so the inverted lists are IDENTICAL
+    * to q33's); only the distance arithmetic is quantized. The
+    * query side is k rows and broadcasts. */
+  def quantizedIvfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vb = quantizedVectors(spark, sfDir)
+      .withColumn("qd", col("q").cast("array<double>"))
+    // nprobe=1: the query's probe list is exactly its own nearest
+    // centroid — already staged as its cent_id
+    val qs = vb.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qd").as("qqd"),
+        col("qn").as("qqn"), col("cent_id").as("qcent"))
+    val sims = vb.join(broadcast(qs),
+        col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_q8", round(dotC(col("qqd"), col("qd")) / (col("qqn") * col("qn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_q8").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select("query_id", "rank", "vec_id", "cos_q8")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle: q33's unrolled k-means chain for the ASSIGNMENT, the
+    * q82 quantization for the DISTANCES. */
+  val quantizedIvfAnnSql: String =
+    s"""$ivfChainCtes,
+       |$duckQuantCte,
+       |afq AS (SELECT af.vec_id, af.cent_id, qq.qd, qq.qn
+       |        FROM af JOIN qq ON af.vec_id = qq.vec_id),
+       |q AS (SELECT vec_id AS query_id, qd AS qqd, qn AS qqn, cent_id AS qcent
+       |      FROM afq WHERE vec_id < $numQueries),
+       |sims AS (
+       |  SELECT q.query_id, a.vec_id,
+       |    round(list_dot_product(q.qqd, a.qd) / (q.qqn * a.qn), 6) AS cos_q8
+       |  FROM afq a JOIN q ON a.cent_id = q.qcent AND a.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_q8,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_q8 DESC, vec_id) AS rank
+       |  FROM sims)
+       |SELECT query_id, rank, vec_id, cos_q8 FROM ranked
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** Corpus → (vec_id, v, nrm, cent_id) with the trained centroids;
     * pure narrow map, no Exchange anywhere in the plan. */
@@ -378,8 +521,10 @@ object EmbeddingOps {
       .orderBy("query_id", "rank")
   }
 
-  /** Oracle: the same seeds + Lloyd iterations unrolled as CTEs. */
-  val ivfAnnSql: String = {
+  /** The seeds + Lloyd iterations unrolled as CTEs, through the final
+    * assignment `af(vec_id, v, nrm, cent_id)` — shared by the float
+    * (q33) and quantized (q84) IVF oracles. */
+  private def ivfChainCtes: String = {
     def assignCte(name: String, centsCte: String): String =
       s"""$name AS (
          |  SELECT vec_id, v, nrm, cent_id FROM (
@@ -407,7 +552,12 @@ object EmbeddingOps {
        |  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $numCentroids),
        |c0 AS (SELECT cent_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn FROM seed),
        |$iterCtes,
-       |${assignCte("af", s"c$kmeansIters")},
+       |${assignCte("af", s"c$kmeansIters")}""".stripMargin
+  }
+
+  /** Oracle: the same seeds + Lloyd iterations unrolled as CTEs. */
+  val ivfAnnSql: String =
+    s"""$ivfChainCtes,
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS qcent
        |      FROM af WHERE vec_id < $numQueries),
        |sims AS (
@@ -420,7 +570,6 @@ object EmbeddingOps {
        |  FROM sims)
        |SELECT query_id, rank, vec_id, cos FROM ranked
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-  }
 
   /** Embedding near-duplicate pairs: cosine above threshold, searched
     * within LSH buckets only (bounded candidate set at scale). Guarded

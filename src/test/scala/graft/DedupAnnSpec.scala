@@ -189,7 +189,7 @@ class DedupAnnSpec extends SparkSpec {
 
   test("IVF model stages once: later queries reuse centroids + assignment") {
     val dirs = EmbeddingOps.stageIvf(spark, sf)
-    assert(dirs.size == 2, "centroids + assignment tables expected")
+    assert(dirs.size == 3, "centroids + assignment + quantized corpus tables expected")
     dirs.foreach(d => assert(Files.exists(Paths.get(d, "_SUCCESS")), s"missing $d"))
     val before = dirs.map(d => Files.getLastModifiedTime(Paths.get(d, "_SUCCESS")))
     // an IVF query (incl. nprobe>1 recall) must NOT retrain or rewrite
@@ -204,6 +204,47 @@ class DedupAnnSpec extends SparkSpec {
       EmbeddingOps.ivfAnn(spark, sf).collect()
     }
     assert(base.toSeq == unstaged.toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("quantized batch ANN (q83/q84) reads the staged int8 table and keeps float-path recall (VERDICT r19 #5)") {
+    // staged read: the probe's scan must be the emb_q8 table, not the
+    // float embeddings parquet — the whole point of the byte cut
+    EmbeddingOps.stageIvf(spark, sf)
+    val plan = EmbeddingOps.quantizedAnnBucketed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("emb_q8"), s"q83 must scan the staged int8 table:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      s"q83 must not touch the float corpus:\n$plan")
+    // the staged codes are genuinely int (the at-rest byte cut), not
+    // pre-cast doubles
+    val qField = EmbeddingOps.quantizedVectors(spark, sf).schema("q")
+    assert(qField.dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, true),
+      s"staged codes must be array<int>, got ${qField.dataType}")
+
+    // recall parity vs the float probes: identical bucket membership /
+    // inverted lists (both computed from the float vectors at stage
+    // time), so only near-tie reorderings from the <1% quantization
+    // shift can differ — require >= 2/3 of each query's top-3 to agree
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val pairs = Seq(
+      ("q83/q27", topSets(EmbeddingOps.quantizedAnnBucketed(spark, sf)),
+        topSets(EmbeddingOps.annBucketed(spark, sf))),
+      ("q84/q33", topSets(EmbeddingOps.quantizedIvfAnn(spark, sf)),
+        topSets(EmbeddingOps.ivfAnn(spark, sf))))
+    for ((tag, quant, flt) <- pairs) {
+      assert(quant.keySet == flt.keySet, s"$tag: query sets diverge")
+      for ((q, fset) <- flt) {
+        val overlap = (quant(q) & fset).size
+        assert(overlap * 3 >= fset.size * 2,
+          s"$tag query $q: quantized top-k ${quant(q)} vs float $fset — " +
+            s"only $overlap/${fset.size} agree")
+      }
+    }
     spark.catalog.clearCache()
   }
 
