@@ -151,6 +151,28 @@ object StreamingDedup {
                              p: MinHashParams = DedupOps.defaultParams): DataFrame =
     matchesAgainst(stream, spark.table(table), p)
 
+  /** ABSORB admitted documents into the bucketed band posting table
+    * (the admission-loop append the soak inlined until r20): narrow
+    * one-pass signatures → band postings → append, repartitioned to
+    * ONE WRITER PER TOUCHED BUCKET (≤ `buckets` files per absorb — the
+    * §57 geometry; an unrepartitioned append lands tasks × buckets).
+    * At-least-once replay duplicates a corpus_id's postings; that is
+    * match-invisible (every probe ends in a pair-level
+    * dropDuplicates) and storage-bounded by the next compaction
+    * rewrite's pass over the table. */
+  def absorbPostings(spark: SparkSession, admitted: DataFrame, table: String,
+                     buckets: Int = 64,
+                     p: MinHashParams = DedupOps.defaultParams): Unit =
+    graft.operators.DedupOps.minhashSignaturesOf(admitted)
+      .select(col("doc_id").as("corpus_id"),
+        array((0 until p.numHashes).map(i => col(s"mh$i")): _*).as("__sig"))
+      .withColumn("cbk", explode(expr(DedupOps.bandArrayExpr(p))))
+      .select(col("cbk"), col("corpus_id"), col("__sig").as("__csig"))
+      .repartition(buckets, col("cbk"))
+      .write.mode("append")
+      .bucketBy(buckets, "cbk").sortBy("cbk")
+      .format("parquet").saveAsTable(table)
+
   /** Posting-table data-file count (the compaction trigger input). */
   def postingFileCount(spark: SparkSession, table: String): Int =
     PostingCompaction.fileCount(spark, table)

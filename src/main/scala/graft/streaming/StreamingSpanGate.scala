@@ -60,6 +60,27 @@ object StreamingSpanGate {
     PostingCompaction.fileCount(spark, table)
   }
 
+  /** ABSORB admitted documents' spans into the staged table: DISTINCT
+    * NEW hashes only — the anti-join preserves the staged layout's
+    * corpus-wide distinctness invariant ([[spanMatches]] counts one
+    * match per probe window via a plain join; a duplicate posting row
+    * would double-count every window that hits it) and makes the
+    * absorb REPLAY-IDEMPOTENT: re-absorbing an already-absorbed batch
+    * appends zero rows, so an at-least-once restart cannot corrupt
+    * the table. The anti-join is bucket-aligned (batch side shuffles
+    * into the corpus bucketing, corpus reads in place — the probe's
+    * own geometry), and the append writes one file per touched
+    * bucket. */
+  def absorbSpans(spark: SparkSession, admitted: DataFrame, table: String,
+                  buckets: Int = 64, k: Int = defaultSpanLen): Unit =
+    admitted.select(explode(SpanHashes.span_hashes(col("text"), k)).as("csh"))
+      .distinct()
+      .join(spark.table(table), Seq("csh"), "left_anti")
+      .repartition(buckets, col("csh"))
+      .write.mode("append")
+      .bucketBy(buckets, "csh").sortBy("csh")
+      .format("parquet").saveAsTable(table)
+
   /** File-count compaction dial for a span posting table that absorbs
     * admitted documents' spans over time — same trigger and rewrite as
     * [[StreamingDedup.compactAt]] (PERF §41's creep mechanism is

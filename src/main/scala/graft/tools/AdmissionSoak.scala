@@ -138,20 +138,14 @@ object AdmissionSoak {
         .localCheckpoint(true)
       val nMatches = matches.count()
       latencies(b) = (System.nanoTime() - s0) / 1e9
-      // absorb: admitted docs (no match) join the corpus posting table
+      // absorb: admitted docs (no match) join the corpus posting
+      // table — the ENGINE absorb since r20 (one writer per touched
+      // bucket, the same append the composed AdmissionPipeline runs)
       val admitted = batch
         .join(matches.select(col("new_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
-      val admittedSig = graft.operators.DedupOps.minhashSignaturesOf(admitted)
       val p = graft.operators.DedupOps.defaultParams
-      val newPostings = admittedSig
-        .select(col("doc_id").as("corpus_id"),
-          array((0 until p.numHashes).map(i => col(s"mh$i")): _*).as("__sig"))
-        .withColumn("cbk", explode(expr(graft.operators.DedupOps.bandArrayExpr(p))))
-        .select(col("cbk"), col("corpus_id"), col("__sig").as("__csig"))
-      newPostings.write.mode("append")
-        .bucketBy(64, "cbk").sortBy("cbk")
-        .format("parquet").saveAsTable(curTable)
+      StreamingDedup.absorbPostings(spark, admitted, curTable, 64, p)
       val nAdm = admitted.count()
       appended += nAdm * p.numBands
       if (b % 10 == 0 || b == nBatches - 1) {
