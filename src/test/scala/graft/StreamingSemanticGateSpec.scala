@@ -105,11 +105,18 @@ class StreamingSemanticGateSpec extends SparkSpec {
       assert(absorbed == 10L, s"expected 10 vectors absorbed, got $absorbed")
       assert(probeTwin(of = 7L, asId = 500002L).contains(7L),
         "twin of an absorbed vector must match it")
-      // growth + floor-keyed compaction through the shared dial
-      val grown = graft.streaming.StreamingDedup.postingFileCount(spark, table)
-      assert(grown > staged, "absorb must append files")
+      // growth + floor-keyed compaction through the shared dial. The
+      // threshold's absorb-aware lower bound (floor + buckets, the r20
+      // storm fix) means ONE absorb can never trip it — by design —
+      // so a second absorb pushes past floor + buckets first
+      val grown1 = graft.streaming.StreamingDedup.postingFileCount(spark, table)
+      assert(grown1 > staged, "absorb must append files")
       val dial = StreamingSemanticGate.compactionDial(table, staged,
         filesFactor = 1.0, buckets)
+      assert(!dial.shouldFire(staged + buckets),
+        "a single absorb's worst-case landing must never trip the dial (storm guard)")
+      StreamingSemanticGate.absorb(
+        spark, emb.where(col("vec_id") >= 10 && col("vec_id") < 30), table, buckets): Unit
       assert(dial.maybeCompact(spark), "dial must fire on the grown table")
       val landed = graft.streaming.StreamingDedup.postingFileCount(spark, table)
       assert(landed <= buckets, s"rewrite must land <= $buckets files, got $landed")
