@@ -190,6 +190,10 @@ object SparkEntry {
     // corpus (q27/q33's plans reading ~4x narrower codes at rest)
     "q83_quantized_bucketed_ann" -> EmbeddingOps.quantizedAnnBucketed _,
     "q84_quantized_ivf_ann" -> EmbeddingOps.quantizedIvfAnn _,
+    // similarity: multi-plane-set union ANN (the planeSets recall
+    // amplifier as a batch query; candidates unioned across 2
+    // independent bucket spaces, pair-deduped, quantized cosine)
+    "q85_multiset_ann" -> ((s, d) => EmbeddingOps.multiSetAnnBucketed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -279,5 +283,6 @@ object SparkEntry {
     "q82_quantized_ann" -> EmbeddingOps.quantizedCosineTopKSql,
     "q83_quantized_bucketed_ann" -> EmbeddingOps.quantizedAnnBucketedSql,
     "q84_quantized_ivf_ann" -> EmbeddingOps.quantizedIvfAnnSql,
+    "q85_multiset_ann" -> EmbeddingOps.multiSetAnnBucketedSql,
   )
 }

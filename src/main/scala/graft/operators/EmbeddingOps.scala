@@ -472,6 +472,87 @@ object EmbeddingOps {
       .orderBy("query_id", "rank")
   }
 
+  /** q85: MULTI-PLANE-SET bucketed ANN over quantized vectors — the
+    * recall amplifier the streaming gate's `planeSets` dial wires
+    * (PERF §61: miss rate falls ~4× per added set), expressed as a
+    * batch query: every vector carries `sets` composite bucket keys
+    * (set 0 = the oracle-pinned q26 planes; sets ≥ 1 from the hashed
+    * family — the legacy formula holds only five distinct
+    * hyperplanes, see signBucket), candidates are the UNION of
+    * same-bucket pairs across sets (pair-deduped before ranking so a
+    * pair found in two sets scores once), top-3 by quantized cosine.
+    *
+    * Scale shape: the corpus explodes ×sets in a narrow map (no
+    * shuffle — the candidate join broadcasts the k×sets query rows),
+    * the window ranks only the bounded union candidate set. Top-k
+    * quality dominates q83's single-set answer BY CONSTRUCTION
+    * (superset of candidates ⇒ per-rank cosine non-decreasing) —
+    * spec-pinned in DedupAnnSpec. */
+  val multiSetPlaneSets = 2
+
+  def multiSetAnnBucketed(spark: SparkSession, sfDir: String): DataFrame =
+    multiSetAnnBucketed(spark, sfDir, multiSetPlaneSets)
+
+  def multiSetAnnBucketed(spark: SparkSession, sfDir: String, sets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vs = vectors(spark, sfDir)
+      .withColumn("qd",
+        graft.functions.VecQuant.vec_q8(col("v")).cast("array<double>"))
+      .withColumn("qn", sqrt(dotC(col("qd"), col("qd"))))
+      .where(col("qn") > 0)
+      .withColumn("bkts", array((0 until sets).map(s =>
+        lit(s * (1 << numPlanes)) + signBucket(col("v"), numPlanes, s)): _*))
+      .select("vec_id", "qd", "qn", "bkts")
+    val corpus = vs.select(col("vec_id"), col("qd"), col("qn"),
+      explode(col("bkts")).as("bkt"))
+    val qs = vs.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qd").as("qqd"),
+        col("qn").as("qqn"), explode(col("bkts")).as("qbkt"))
+    val sims = corpus.join(broadcast(qs),
+        col("bkt") === col("qbkt") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_q8",
+        round(dotC(col("qqd"), col("qd")) / (col("qqn") * col("qn")), 6))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos_q8").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select("query_id", "rank", "vec_id", "cos_q8")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle: set 0 through the legacy formula CTEs, set 1's eight
+    * hashed-family hyperplanes baked in as LITERAL sign vectors (the
+    * same constants Spark folds into codegen — the oracle then tests
+    * the union/dedup/ranking logic against shared plane constants,
+    * exactly as the q26 oracle shares the legacy formula). */
+  val multiSetAnnBucketedSql: String = {
+    def planeLit(setIdx: Int, p: Int): String =
+      planeVecSet(setIdx, numPlanes, p)
+        .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val b1Expr = (0 until numPlanes)
+      .map(p => s"(CASE WHEN list_dot_product(CAST(${planeLit(1, p)} AS DOUBLE[]), v) > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    s"""$duckVecCte,
+       |$duckBucketCte,
+       |s1 AS (SELECT vec_id, $b1Expr AS b1 FROM n),
+       |$duckQuantCte,
+       |vb AS (SELECT bk.vec_id, bk.bucket AS b0, s1.b1, qq.qd, qq.qn
+       |       FROM bk JOIN s1 ON bk.vec_id = s1.vec_id
+       |               JOIN qq ON bk.vec_id = qq.vec_id),
+       |q AS (SELECT vec_id AS query_id, qd AS qqd, qn AS qqn, b0 AS qb0, b1 AS qb1
+       |      FROM vb WHERE vec_id < $numQueries),
+       |sims AS (
+       |  SELECT DISTINCT q.query_id, v.vec_id,
+       |    round(list_dot_product(q.qqd, v.qd) / (q.qqn * v.qn), 6) AS cos_q8
+       |  FROM vb v JOIN q ON (v.b0 = q.qb0 OR v.b1 = q.qb1) AND v.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_q8,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_q8 DESC, vec_id) AS rank
+       |  FROM sims)
+       |SELECT query_id, rank, vec_id, cos_q8 FROM ranked
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Oracle: q33's unrolled k-means chain for the ASSIGNMENT, the
     * q82 quantization for the DISTANCES. */
   val quantizedIvfAnnSql: String =

