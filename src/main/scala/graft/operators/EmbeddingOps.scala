@@ -472,6 +472,37 @@ object EmbeddingOps {
       .orderBy("query_id", "rank")
   }
 
+  /** q84 with the classic IVF recall knob: probe the query's `nprobe`
+    * nearest inverted lists (centroid scoring on the FLOAT query
+    * vector from the staged assignment — the model stays float, only
+    * the corpus-side distances are quantized). nprobe=1 reproduces
+    * [[quantizedIvfAnn]] exactly (the top-1 probe IS the staged
+    * cent_id); per-rank cosine is non-decreasing in nprobe
+    * (superset of candidates), spec-pinned like the float path's. */
+  def quantizedIvfAnn(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = stagedCentroids(spark, sfDir, numCentroids, kmeansIters)
+    val vb = quantizedVectors(spark, sfDir)
+      .withColumn("qd", col("q").cast("array<double>"))
+    val probes = stagedAssignment(spark, sfDir, cents, numCentroids, kmeansIters)
+      .where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(probeCentroids(cents, nprobe)).as("qcent"))
+    val qs = probes.join(
+      vb.select(col("vec_id").as("query_id"), col("qd").as("qqd"),
+        col("qn").as("qqn")),
+      "query_id")
+    val sims = vb.join(broadcast(qs),
+        col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_q8", round(dotC(col("qqd"), col("qd")) / (col("qqn") * col("qn")), 6))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos_q8").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select("query_id", "rank", "vec_id", "cos_q8")
+      .orderBy("query_id", "rank")
+  }
+
   /** q85: MULTI-PLANE-SET bucketed ANN over quantized vectors — the
     * recall amplifier the streaming gate's `planeSets` dial wires
     * (PERF §61: miss rate falls ~4× per added set), expressed as a

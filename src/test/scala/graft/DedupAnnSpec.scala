@@ -248,6 +248,21 @@ class DedupAnnSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("quantized IVF nprobe: nprobe=1 reproduces q84 exactly, raising it never worsens a rank") {
+    def byRank(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Double]("cos_q8")).toMap
+    val base = byRank(EmbeddingOps.quantizedIvfAnn(spark, sf))
+    val one = byRank(EmbeddingOps.quantizedIvfAnn(spark, sf, nprobe = 1))
+    assert(one == base, "nprobe=1 must equal the staged-cent_id q84 path")
+    val two = byRank(EmbeddingOps.quantizedIvfAnn(spark, sf, nprobe = 2))
+    base.foreach { case (k, c1) =>
+      assert(two.contains(k), s"nprobe=2 lost $k")
+      assert(two(k) >= c1, s"nprobe=2 worsened $k: ${two(k)} < $c1")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q85 multi-set ANN: per-rank cosine dominates the single-set answer, sets are genuinely unioned") {
     // superset of candidates ⇒ the rank-r cosine at S sets is >= the
     // rank-r cosine at S-1 sets, for every query and rank — the same
