@@ -293,7 +293,15 @@ object CorpusOps {
   def rareTokenFilter(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    // freq (vocab-sized — Heaps' law, sublinear in corpus bytes) backs
+    // BOTH tot and the common-head filter; unpersisted each reference
+    // re-ran the full token explode + count (r21 plan audit: 4
+    // document scans per run, 3 after). The tok explode itself stays
+    // deliberately un-materialized (q57 doctrine: recompute narrow
+    // CPU, never widen a shuffle/cache with the token stream).
     val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rareFreqCacheRegistry.register(freq): Unit
     val tot = freq.agg(sum("c").as("total"), count(lit(1)).as("vocab"))
     val common = freq.crossJoin(broadcast(tot))
       .where(col("c") * col("vocab") * 2 >= col("total")).select("t")
@@ -625,6 +633,14 @@ object CorpusOps {
       .select("doc_id", "term", "tf", "df", "score_ppm", "rank")
       .orderBy("doc_id", "rank")
   }
+
+  /** Bounded LRU for [[rareTokenFilter]]'s vocab-frequency persist
+    * (same discipline as the tf registry below). */
+  private[graft] val rareFreqCacheRegistry = new SessionCacheRegistry(2)
+
+  /** Release this session's persisted q54 freq frames; returns count. */
+  def releaseRareFreqCache(spark: SparkSession): Int =
+    rareFreqCacheRegistry.release(spark)
 
   /** LRU-bounded registry for [[tfidfKeywords]]'s persisted tf frame
     * (same discipline as DedupOps' band cache): repeated calls

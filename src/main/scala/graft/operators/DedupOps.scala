@@ -1026,10 +1026,13 @@ object DedupOps {
     * projection of the corpus, and the final matrix is one tiny
     * aggregate (sources², a constant). */
   def sourceOverlapMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .withColumn("keeper", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
-    val exactPairs = docs.where(col("doc_id") =!= col("keeper"))
+    // exact-dup star from the STAGED keeper frame (same expression —
+    // min(doc_id) over the md5(text) window — computed once per corpus
+    // by stageAll); the previous inline window re-shuffled the full
+    // text column per q62 run even though q32/q47/q63 already read the
+    // staged table (r21 audit)
+    val exactPairs = keeperTable(spark, sfDir)
+      .where(col("doc_id") =!= col("keeper"))
       .select(col("keeper").as("doc_a"), col("doc_id").as("doc_b"))
     val pairs = jaccardVerify(spark, sfDir).select("doc_a", "doc_b")
       .unionByName(exactPairs).distinct()

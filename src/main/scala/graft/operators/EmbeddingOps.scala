@@ -184,8 +184,12 @@ object EmbeddingOps {
   def annBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vs = vectors(spark, sfDir)
-    val bk = lshBucketsFrom(vs)
-    val vb = vs.join(bk, "vec_id")
+    // bucket as an inline per-row column ([[signBucket]] — identical
+    // planes/arithmetic to [[lshBucketsFrom]]), NOT a vec_id self-join
+    // against lshBucketsFrom(vs): the join form executed the vectors
+    // subtree twice and paid a join/exchange purely to re-attach a
+    // value derivable per row (r21 plan audit; guide §2.4)
+    val vb = vs.withColumn("bucket", signBucket(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = vb.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -750,7 +754,11 @@ object EmbeddingOps {
            .select(col("__gmin").as("vec_a"), col("vec_id").as("vec_b"),
              lit(1.0).as("cos")))
       }
-    val vb0 = bandVs.join(lshBucketsFrom(bandVs), "vec_id")
+    // inline per-row bucket (same arithmetic as lshBucketsFrom) — the
+    // previous vec_id self-join re-executed the whole guard-window
+    // subtree a second time just to re-attach the bucket (r21 plan
+    // audit: two copies of the __fp collapse windows + a join)
+    val vb0 = bandVs.withColumn("bucket", signBucket(col("v")))
     // guard stage 2: per-bucket membership cap
     SkewGuard.maybeLogOverflow(vb0, "bucket", g.maxBucket, g.logOverflow, "nearDupPairs")
     val vb = SkewGuard.capBuckets(vb0, "bucket", "vec_id", g.maxBucket)

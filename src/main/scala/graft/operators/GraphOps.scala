@@ -53,8 +53,15 @@ object GraphOps {
     // only action, so it materializes the checkpoint in the same Spark
     // job — one pass over the labels per round instead of two (eager
     // checkpoint job + sum job)
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // Seed each vertex at its NEIGHBORHOOD minimum min(id, N(id)) —
+    // one groupBy over the same symmetric edge set the old
+    // distinct-ids seed scanned, but it starts the propagation one
+    // hop ahead: a star around its minimum converges in a single
+    // confirming round instead of propagate+confirm (r21; the labels
+    // remain component minima, so the fixpoint — and the min-label
+    // contract — is unchanged).
+    var labels = und.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("lbl"))
       .localCheckpoint(false)
     // Convergence check without a per-round join: min-propagation is
     // monotone (lbl never increases, the vertex set is fixed), so ANY

@@ -654,11 +654,9 @@ object RelationalOps {
     * broadcast inside the `eu` build (bounded at 25/5 rows), but `eu`
     * itself derives from supplier (SF×10k rows — grows with the
     * corpus) so it carries NO hint: AQE broadcasts it while small and
-    * shuffle-joins beyond. The part filter prunes before the join. */
+    * shuffle-joins beyond. The selective part filter also prefilters
+    * lineitem as a semi join BEFORE the cost aggregate (see body). */
   def minCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
-    val cost = Tables.lineitem(spark, sfDir)
-      .groupBy("l_partkey", "l_suppkey")
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
     val eu = Tables.supplier(spark, sfDir)
       .join(broadcast(Tables.nation(spark, sfDir)),
         col("s_nationkey") === col("n_nationkey"))
@@ -668,6 +666,24 @@ object RelationalOps {
       .select("s_suppkey", "s_name")
     val small = Tables.part(spark, sfDir)
       .where(col("p_size") <= 15).select("p_partkey", "p_name")
+    // Semi-join prefilter BEFORE the cost aggregate (guide §3.2, r21):
+    // the downstream part join is selective (p_size ≤ 15 keeps ~30% of
+    // parts) and drops or keeps whole (l_partkey, l_suppkey) groups —
+    // per-group min and the per-part window min over the survivors are
+    // bit-identical, while the aggregate's shuffle input falls ~3×.
+    // Hint-free like q77's red-part prefilter: the filtered part
+    // projection broadcasts statically. The eu (supplier) side is NOT
+    // prefiltered here: its 3-way-join size estimate exceeds the
+    // static broadcast threshold, so Catalyst planned the semi join as
+    // SMJ — a brand-new full lineitem shuffle by suppkey that AQE pays
+    // before it can demote the join (observed in the r21 plan dump);
+    // the eu restriction is applied once at the post-aggregate join as
+    // before.
+    val cost = Tables.lineitem(spark, sfDir)
+      .join(small.select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
     cost
       .join(eu, col("l_suppkey") === col("s_suppkey"))
       .join(small, col("l_partkey") === col("p_partkey"))
