@@ -136,11 +136,18 @@ object CorpusOps {
     * shuffles — keep iff `hash % lang_count < min_count`, i.e. an
     * exact min_count/lang_count rate decided per document. */
   def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
+    // mn rides the counts frame as a constant-partition window min
+    // instead of a separate counts.agg(min) + crossJoin: the scalar
+    // aggregate re-executed the whole counts subtree (a third
+    // document scan per run, r21 plan audit). The window runs over
+    // one partition of |langs| rows — bounded by language count, not
+    // corpus size (pmod keeps the spec non-empty, the q78 trick).
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
-    val minCnt = counts.agg(min(col("cnt")).as("mn"))
+      .withColumn("mn",
+        min(col("cnt")).over(Window.partitionBy(pmod(col("cnt"), lit(1)))))
     docs.join(broadcast(counts), "lang")
-      .crossJoin(broadcast(minCnt))
       .where(expr(s"$u32 % cnt") < col("mn"))
       .select("doc_id", "lang", "cnt", "mn")
       .orderBy("doc_id")
@@ -296,9 +303,14 @@ object CorpusOps {
     // freq (vocab-sized — Heaps' law, sublinear in corpus bytes) backs
     // BOTH tot and the common-head filter; unpersisted each reference
     // re-ran the full token explode + count (r21 plan audit: 4
-    // document scans per run, 3 after). The tok explode itself stays
-    // deliberately un-materialized (q57 doctrine: recompute narrow
-    // CPU, never widen a shuffle/cache with the token stream).
+    // document scans per run, 3 after). Persist, NOT a single-
+    // partition window carrying total/vocab: the vocab is unbounded
+    // (unlike q57's charset³ trigrams or q50's language list), so a
+    // constant-partition window over it is a one-task bottleneck at
+    // corpus scale — the PERF §51 skew doctrine. The tok explode
+    // itself stays deliberately un-materialized (q57 doctrine:
+    // recompute narrow CPU, never widen a shuffle/cache with the
+    // token stream).
     val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rareFreqCacheRegistry.register(freq): Unit
@@ -714,14 +726,23 @@ object CorpusOps {
     // pair and pin it in cache. Exactly the trade a 100 TB run wants:
     // recompute narrow CPU, never widen a shuffle.
     val occ = trigramOccurrences(spark, sfDir)
+    // total rides the freq frame as a constant-partition window sum
+    // instead of freq.agg(sum) + crossJoin: the scalar aggregate
+    // re-executed the freq subtree — a THIRD trigram explode over the
+    // corpus per run (r21 plan audit), on top of the two deliberate
+    // passes. The window is one partition of |distinct trigrams| rows
+    // (bounded by charset³, the same bound that justifies the
+    // broadcast), never corpus rows.
     val freq = occ.groupBy("tri").agg(count(lit(1)).as("cnt"))
-    val total = freq.agg(sum("cnt").as("total"))
+      .withColumn("total", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("cnt"), lit(1)))))
     occ.join(broadcast(freq), "tri")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tris"),
            sum("cnt").as("freq_mass"),
-           min("cnt").as("rarest_cnt"))
-      .crossJoin(broadcast(total))
+           min("cnt").as("rarest_cnt"),
+           max("total").as("total")) // constant on every joined row
       .withColumn("typ_ppm", expr("freq_mass * 1000000 div (n_tris * total)"))
       .select("doc_id", "n_tris", "freq_mass", "rarest_cnt", "typ_ppm")
       .orderBy("doc_id")
