@@ -39,6 +39,24 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE sort-merge -> shuffled-hash rewrite (guide §3.1): when every
+      // post-shuffle partition of the build side is measured below this
+      // threshold at runtime, the sort on both sides is replaced by a
+      // per-partition hash build. Runtime-gated on ACTUAL partition
+      // bytes (unlike preferSortMergeJoin=false, which trusts planner
+      // estimates), so it is scale-safe by construction: a 100 TB run
+      // whose partitions exceed the bound keeps sort-merge and its
+      // graceful spill; below it the per-task hash build is bounded at
+      // 64 MiB — the same order as Spark's advisory partition size, so
+      // the rewrite only fires where the build side provably fits in a
+      // task's execution memory. r21 A/B/A (same box, back-to-back
+      // partial benches over the SMJ-carrying queries): q61 0.390 s ON
+      // vs 0.424/0.460 s OFF, q47 1.088 vs 1.126/1.144, q22/q44/q54
+      // flat — no regression anywhere, so 64m is the default.
+      // SPARK_GRAFT_SHJ_LOCALMAP overrides ("0" restores pure
+      // sort-merge for A/Bs).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
       // the driver-generated events table carries TIMESTAMP(NANOS)
       // which Spark's parquet reader only surfaces as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

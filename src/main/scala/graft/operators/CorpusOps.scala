@@ -515,6 +515,14 @@ object CorpusOps {
     val hitDocs = spanDocsTable(spark, sfDir)
     // same native window-string generator as q80 (PERF §50); the
     // posexplode position is the 0-based window index, as before
+    // `wins` is referenced TWICE — the string-exact re-check (repSpans)
+    // and the flagged join-back — and Spark does not share the subtree:
+    // the r21 plan audit counted the affected-doc posexplode + span_hash
+    // + candidate join executing once per reference (two document scans,
+    // operators (1)-(14) and (17)-(30) in the before plan). Affected
+    // docs are the rare tail by construction, so the frame is small —
+    // persist it (MEMORY_AND_DISK, LRU-registered like q56's tf frame)
+    // and both consumers read one explode pass.
     val wins = docs.join(hitDocs, "doc_id")
       .select(col("doc_id"), posexplode(
         graft.functions.SpanStrings.span_strings(col("text"), spanLen)))
@@ -522,6 +530,8 @@ object CorpusOps {
         col("col").as("span"))
       .withColumn("sh", graft.functions.SpanHashes.span_hash(col("span")))
       .join(candHashes, "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    spanWinsCacheRegistry.register(wins): Unit
     val repSpans = wins.groupBy("span")
       .agg(countDistinct("doc_id").as("ndocs"))
       .where(col("ndocs") >= 2).select("span")
@@ -645,6 +655,15 @@ object CorpusOps {
       .select("doc_id", "term", "tf", "df", "score_ppm", "rank")
       .orderBy("doc_id", "rank")
   }
+
+  /** Bounded LRU for [[dedupSpanRanges]]'s flagged-window persist
+    * (same discipline as the tf registry below). */
+  private[graft] val spanWinsCacheRegistry = new SessionCacheRegistry(2)
+
+  /** Release this session's persisted q81 span-window frames; returns
+    * the count. */
+  def releaseSpanWinsCache(spark: SparkSession): Int =
+    spanWinsCacheRegistry.release(spark)
 
   /** Bounded LRU for [[rareTokenFilter]]'s vocab-frequency persist
     * (same discipline as the tf registry below). */

@@ -2056,7 +2056,34 @@ object DedupOps {
     val bands0 = bandSh.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
     // guard stage 2: per-bucket membership cap
     SkewGuard.maybeLogOverflow(bands0, "bk", g.maxBucket, g.logOverflow, "simhashPairs")
-    val bands = SkewGuard.capBuckets(bands0, "bk", "doc_id", g.maxBucket)
+    // The capped band stream feeds BOTH sides of the self-join, and
+    // stage reuse does not fire across a self-join's sides (PERF §30)
+    // — without materialization the whole subtree above this point
+    // (the identical-simhash guard window, the 4-way band explode, and
+    // the bucket-cap window) executes once per side: the r21 before-
+    // plan shows two full Scan→Window→Generate→WindowGroupLimit chains,
+    // operators (1)-(13) and (16)-(28), plus a third guard window for
+    // the star branch. Same persist + lifecycle as lshCandidatesFrom
+    // (registerComputeCleanup inside a staged write, else the bounded
+    // band-cache LRU), and the same gates: skip when the guard is off
+    // (plain explode is cheaper to recompute than to cache), when
+    // SPARK_GRAFT_BAND_PERSIST=off, or on a stageAll chain thread
+    // (PERF §35 — the fill job serializes a chain segment other
+    // chains' work no longer hides).
+    val bands = {
+      val capped = SkewGuard.capBuckets(bands0, "bk", "doc_id", g.maxBucket)
+      val envBp = sys.env.get("SPARK_GRAFT_BAND_PERSIST")
+      if (g.maxGroupAllPairs == Int.MaxValue ||
+          envBp.contains("off") ||
+          (Staging.inStagingChain && !envBp.contains("force"))) capped
+      else {
+        val persisted =
+          capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!Staging.registerComputeCleanup(() => persisted.unpersist(false)))
+          bandCacheRegistry.register(persisted): Unit
+        persisted
+      }
+    }
     bands.as("x").join(bands.as("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(
