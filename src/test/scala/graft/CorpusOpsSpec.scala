@@ -368,6 +368,24 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("r21: q81 flagged-window frame is persisted once and registry-released") {
+    // The r21 optimization: `wins` (affected-doc posexplode + span hash
+    // + candidate join) is consumed by both the string-exact re-check
+    // and the flagged join-back; it persists behind the bounded LRU.
+    // Pin the plan reads the cache and the release hook frees exactly
+    // the one frame (the leak bound).
+    CorpusOps.releaseSpanWinsCache(spark): Unit // clean slate
+    spark.catalog.clearCache()
+    val df = CorpusOps.dedupSpanRanges(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"q81 should read the persisted flagged-window frame:\n$plan")
+    df.collect()
+    assert(CorpusOps.releaseSpanWinsCache(spark) == 1,
+      "the q81 wins persist must be registry-released")
+    spark.catalog.clearCache()
+  }
+
   test("q17: array_remove stop count is bit-parity with the old filter lambda (r17 sweep)") {
     // the rewrite (PERF §50): size(toks) - size(array_remove(...)) in
     // codegen'd collection expressions replaces the interpreted

@@ -406,6 +406,29 @@ class DedupAnnSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("r21: guarded simhash pairs materialize the band stream once and register it") {
+    // The r21 optimization: the capped band stream feeds both sides of
+    // the pair self-join, so it persists (same lifecycle as the LSH
+    // band cache). Pin (a) the plan reads the cache, (b) the persist is
+    // REGISTERED in the releasable band-cache LRU (the leak bound), and
+    // (c) the guard-off path takes no cache slot (plain explode is
+    // recomputed by design).
+    DedupOps.releaseBandCache(spark): Unit // clean slate
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    DedupOps.simhashPairsOf(docs, BandGuard.off).collect()
+    assert(DedupOps.releaseBandCache(spark) == 0,
+      "guard-off simhash pairs must not register a band-cache entry")
+    val guarded = DedupOps.simhashPairsOf(docs, BandGuard.default)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"guarded simhash pairs should read the persisted band stream:\n$plan")
+    guarded.collect()
+    assert(DedupOps.releaseBandCache(spark) == 1,
+      "the guarded band-stream persist must be registry-released")
+    spark.catalog.clearCache()
+  }
+
   test("staged candidate read plan is a pure scan — no join, no window") {
     DedupOps.stageSignatures(spark, sf)
     val plan = DedupOps.lshCandidates(spark, sf).queryExecution.executedPlan.toString
